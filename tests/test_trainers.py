@@ -1,0 +1,111 @@
+"""Single-train-step integration tests for VAE-GAN, denoising VAE, DCGAN and
+WGAN (SURVEY.md §4: one step per workload on CPU), plus a sharded-batch
+data-parallel run on the 8-device virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vgd_tpu.core.config import (DataConfig, GANConfig, RunConfig, VAEConfig,
+                                 VAEGANConfig)
+from vgd_tpu.parallel.mesh import build_mesh, shard_batch, shard_tree_replicated
+from vgd_tpu.train.gan import GANTrainer
+from vgd_tpu.train.vae import VAETrainer
+from vgd_tpu.train.vaegan import VAEGANTrainer
+
+KEY = jax.random.key(42)
+F32 = RunConfig(compute_dtype="float32")
+
+
+def _batch(b=8, s=64):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8))
+
+
+def test_vaegan_step_runs_and_learns():
+    cfg = VAEGANConfig(data=DataConfig(image_size=(64, 64), batch_size=8),
+                       run=F32)
+    tr = VAEGANTrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 8)
+    batch = _batch()
+    losses = []
+    for i in range(4):
+        state, m = tr.train_step(state, batch, jax.random.fold_in(KEY, i),
+                                 jnp.float32(0.0))
+        losses.append(float(m["recon"]))
+    assert int(state.step) == 4
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # pixel MSE falls on a repeated batch
+
+    ev = tr.eval_step(state, batch, KEY)
+    assert ev["recon"].shape == (8, 64, 64, 3)
+    z = jax.random.normal(KEY, (4, cfg.latent_dim))
+    assert tr.generate(state, z).shape == (4, 64, 64, 3)
+
+
+def test_vaegan_d_steps_update_disc_twice():
+    """Two D updates per batch => Adam's count is 2x the E/Dec count."""
+    cfg = VAEGANConfig(data=DataConfig(image_size=(64, 64), batch_size=4),
+                       run=F32)
+    tr = VAEGANTrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 4)
+    state, _ = tr.train_step(state, _batch(4), KEY, jnp.float32(0.0))
+    assert int(state.disc.opt_state[0].count) == 2     # vaegan_code.py:95
+    assert int(state.encoder.opt_state[0].count) == 1
+
+
+def test_vae_step_runs_and_denoises():
+    cfg = VAEConfig(data=DataConfig(image_size=(64, 64), batch_size=8,
+                                    noise_max_std=0.5), run=F32)
+    tr = VAETrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 8)
+    batch = _batch()
+    losses = []
+    for i in range(4):
+        state, m = tr.train_step(state, batch, jax.random.fold_in(KEY, i),
+                                 jnp.float32(0.0))
+        losses.append(float(m["recon"]))
+    assert losses[-1] < losses[0]
+    noisy = jnp.zeros((8, 64, 64, 3))
+    out = tr.denoise(state, noisy, KEY)
+    assert out.shape == noisy.shape
+
+
+def test_dcgan_step():
+    cfg = GANConfig(data=DataConfig(image_size=(64, 64), batch_size=8),
+                    run=F32)
+    tr = GANTrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 8)
+    state, m = tr.train_step(state, _batch(), KEY)
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    assert tr.generate(state, jax.random.normal(KEY, (4, 100))).shape \
+        == (4, 64, 64, 3)
+
+
+def test_wgan_step_clips_critic_weights():
+    cfg = GANConfig(data=DataConfig(image_size=(64, 64), batch_size=4),
+                    run=F32, wgan=True, critic_iters=2)
+    tr = GANTrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 4)
+    state, m = tr.train_step_wgan(state, _batch(4), KEY)
+    max_abs = max(float(jnp.max(jnp.abs(p)))
+                  for p in jax.tree_util.tree_leaves(state.disc.params))
+    assert max_abs <= 0.01 + 1e-7                      # gan_code.py:319-320
+    assert int(state.disc.opt_state[0].count) == 2
+
+
+def test_vaegan_data_parallel_mesh():
+    """Same jitted step with the batch sharded over an 8-device mesh."""
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    mesh = build_mesh()
+    cfg = VAEGANConfig(data=DataConfig(image_size=(64, 64), batch_size=8),
+                       run=F32)
+    tr = VAEGANTrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 8)
+    state = shard_tree_replicated(mesh, state)
+    batch = shard_batch(mesh, np.asarray(_batch(8)))
+    state, m = tr.train_step(state, batch, KEY, jnp.float32(0.0))
+    assert np.isfinite(float(m["recon"]))
+    # params stay replicated after the step
+    leaf = jax.tree_util.tree_leaves(state.encoder.params)[0]
+    assert leaf.sharding.is_fully_replicated

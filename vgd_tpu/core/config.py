@@ -1,0 +1,172 @@
+"""Typed configuration for every workload.
+
+The reference scatters hyperparameters as hard-coded constants in ``__main__``
+blocks (e.g. vaegan_code.py:22-26, nf_code.py:711-724) with one argparse CLI
+(train_diffusion.py:69-76). Here every workload has a frozen dataclass whose
+defaults reproduce the reference's published training scale, and a single CLI
+(vgd_tpu/cli.py) overrides fields uniformly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. ``data`` is the DP axis; ``model`` is reserved for
+    tensor-parallel sharding of wide layers (Glow 512-filter couplings) when
+    scaling up. Reference parallelism was single-process nn.DataParallel only
+    (nf_code.py:732); here the mesh generalises to multi-chip/multi-host."""
+    data: int = -1   # -1 => all remaining devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """CelebA(-HQ) pipeline. Reference: dataset_code.py:13-178."""
+    path: Optional[str] = None          # folder of *.jpg; None => synthetic data
+    image_size: Tuple[int, int] = (64, 64)
+    channels: int = 3
+    batch_size: int = 64
+    train_fraction: float = 0.9         # dataset_code.py:173 90/10 random split
+    dataset_size: Optional[int] = None  # truncate dataset (dataset_code.py:20-21)
+    # corruption (dataset_code.py:35-56); applied ON DEVICE here
+    noise_max_std: Optional[float] = None
+    occlusion: bool = True              # random uniform-noise rectangle
+    normalize: bool = True              # True => [-1,1] ('HQ'); False => [0,1] ('LQ')
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 2e-4
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Common training-run knobs shared by all trainers."""
+    seed: int = 42
+    out_dir: str = "runs/default"
+    checkpoint_every_epochs: int = 1
+    checkpoint_every_iters: int = 1000   # iteration-driven trainers (Glow)
+    sample_every_iters: int = 100
+    eval_metrics: bool = True
+    keep_checkpoints: int = 3
+    compute_dtype: str = "bfloat16"      # conv/matmul compute dtype
+    param_dtype: str = "float32"
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+@dataclass(frozen=True)
+class VAEGANConfig:
+    """Flagship workload. Reference: vaegan_code.py:18-219."""
+    data: DataConfig = field(default_factory=DataConfig)
+    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/vaegan"))
+    latent_dim: int = 100               # vaegan_code.py:26
+    epochs: int = 150                   # vaegan_code.py:25
+    lr: float = 2e-4                    # vaegan_code.py:42-44 (3x Adam)
+    alpha_kl: float = 0.1               # vaegan_code.py:49
+    alpha_adv: float = 0.1              # vaegan_code.py:50
+    kl_warmup_epochs: int = 50          # min(1, epoch/50)  vaegan_code.py:117
+    label_real: float = 0.9             # label smoothing    vaegan_code.py:88-89
+    label_fake: float = 0.1
+    instance_noise: float = 0.05        # D-input noise      vaegan_code.py:91-92
+    d_steps: int = 2                    # discriminator steps/batch vaegan_code.py:95
+    ngf: int = 64
+    ndf: int = 64
+    # Reference README describes a Dis_l feature-reconstruction loss but the
+    # code uses pixel MSE (vaegan_code.py:113). Pixel MSE is the default for
+    # checkpoint parity; feature loss is available as an option.
+    recon_loss: str = "pixel"           # "pixel" | "disl"
+    val_noise_std: float = 0.05         # vaegan_code.py:153
+
+
+@dataclass(frozen=True)
+class GANConfig:
+    """DCGAN / WGAN. Reference: gan_code.py:162-372."""
+    data: DataConfig = field(default_factory=lambda: DataConfig(batch_size=128))
+    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/gan"))
+    latent_dim: int = 100
+    epochs: int = 150                   # WGAN reference uses 1500 (gan_code.py:288)
+    lr: float = 2e-4
+    beta1: float = 0.5                  # gan_code.py:180-181 Adam betas (0.5, 0.999)
+    beta2: float = 0.999
+    ngf: int = 64
+    ndf: int = 64
+    wgan: bool = False
+    clip_value: float = 0.01            # WGAN weight clipping gan_code.py:319-320
+    critic_iters: int = 5               # gan_code.py:283
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """Denoising VAE. Reference: main_vae.py:60-213."""
+    data: DataConfig = field(default_factory=lambda: DataConfig(
+        noise_max_std=0.5, occlusion=False))
+    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/vae"))
+    latent_dim: int = 100
+    epochs: int = 100
+    lr: float = 1e-3                    # main_vae.py:84-87 single joint Adam
+    kl_weight: float = 1e-5             # main_vae.py:121
+    kl_warmup_epochs: int = 50
+    ngf: int = 64
+
+
+@dataclass(frozen=True)
+class GlowConfig:
+    """Glow on images. Reference: nf_code.py:560-751."""
+    data: DataConfig = field(default_factory=lambda: DataConfig(
+        batch_size=16, normalize=False))
+    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/glow"))
+    n_bits: int = 5                     # nf_code.py:712
+    n_flows: int = 32                   # K, nf_code.py:717
+    n_blocks: int = 4                   # L, nf_code.py:718
+    filter_size: int = 512              # coupling width, nf_code.py:203
+    n_iter: int = 30000                 # nf_code.py:715
+    lr: float = 1e-4
+    temperature: float = 0.7            # nf_code.py:716
+    n_samples: int = 20
+
+
+@dataclass(frozen=True)
+class GlowEEGConfig:
+    """1-D Glow on EEG. Reference: flow_eeg.py:343-465."""
+    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/glow_eeg"))
+    eeg_path: Optional[str] = None      # folder of BCI-IV-2a .npz; None => synthetic
+    num_channels: int = 22              # flow_eeg.py:12
+    num_samples: int = 160              # 640 decimated x4 (flow_eeg.py:33-34)
+    batch_size: int = 16
+    n_flows: int = 32
+    n_blocks: int = 4
+    filter_size: int = 512
+    n_iter: int = 6000                  # flow_eeg.py:461
+    lr: float = 1e-3                    # torch.optim.Adam default (flow_eeg.py:447)
+    temperature: float = 0.7
+    event_type: str = "mi"              # "mi" | "baseline"
+    n_samples: int = 16
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """DDPM. Reference: train_diffusion.py:68-151."""
+    data: DataConfig = field(default_factory=lambda: DataConfig(
+        batch_size=16, image_size=(256, 256)))
+    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/diffusion"))
+    epochs: int = 100
+    lr: float = 2e-4
+    timesteps: int = 1000
+    beta_start: float = 1e-4            # train_diffusion.py:35
+    beta_end: float = 0.02
+    base_ch: int = 64
+    time_emb_dim: int = 256
+    attention: bool = True              # diffusion_model.py vs diffusion_model_no_attn.py
+
+
+def replace(cfg, **kw):
+    """Functional update helper for frozen configs."""
+    return dataclasses.replace(cfg, **kw)

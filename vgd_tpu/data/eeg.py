@@ -1,0 +1,136 @@
+"""EEG (BCI Competition IV 2a) data pipeline.
+
+Capability parity with flow_eeg.py:8-69:
+* loads .npz files with keys ``s`` (signal), ``etyp`` (event types), ``epos``
+  (event positions); keeps the first 22 channels; fs = 250 Hz,
+* trial extraction: motor-imagery cues {769,770,771,772,783} or baseline 768,
+  640-sample windows decimated x4 -> (22, 160),
+* per-subject filtering and T (training) / E (evaluation) session selection.
+
+When no data folder is present, a synthetic generator produces band-limited
+trials with a class-dependent mu-rhythm (8-13 Hz) power difference, so the
+downstream TSTR evaluation (test_eegglow.py) remains exercisable end-to-end.
+"""
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import List, Optional
+
+import numpy as np
+from scipy.signal import decimate
+
+FS = 250
+MI_CUES = (769, 770, 771, 772, 783)   # flow_eeg.py:20
+BASELINE_CUE = 768                    # flow_eeg.py:24
+WINDOW = 640                          # flow_eeg.py:32
+DOWNSAMPLING = 4                      # flow_eeg.py:9
+NUM_CHANNELS = 22
+
+CHANNEL_NAMES = [
+    "Fz", "FC3", "FC1", "FCz", "FC2", "FC4",
+    "C5", "C3", "C1", "Cz", "C2", "C4", "C6",
+    "CP3", "CP1", "CPz", "CP2", "CP4",
+    "P1", "Pz", "P2", "POz",
+]  # flow_eeg.py:348-353
+
+
+def extract_trials(data: dict, event_type: str = "mi",
+                   downsampling: int = DOWNSAMPLING) -> List[np.ndarray]:
+    """Extract decimated (22, 160) trials from one recording.
+
+    Reference: EEGLoad.get_trials (flow_eeg.py:18-39). Malformed/truncated
+    trials are skipped.
+    """
+    signal = np.asarray(data["s"]).T[:NUM_CHANNELS]
+    etyp = np.asarray(data["etyp"]).T
+    epos = np.asarray(data["epos"]).T
+    if event_type == "mi":
+        idxs = [i for i, e in enumerate(etyp[0]) if e in MI_CUES]
+    else:
+        idxs = [i for i, e in enumerate(etyp[0]) if e == BASELINE_CUE]
+    trials = []
+    for idx in idxs:
+        start = int(epos[0, idx])
+        stop = start + WINDOW
+        if stop > signal.shape[1]:
+            continue
+        trial = signal[:, start:stop]
+        if not np.all(np.isfinite(trial)):
+            continue
+        trials.append(decimate(trial, downsampling))
+    return trials
+
+
+def synthetic_trials(n: int, event_type: str, seed: int = 0,
+                     num_channels: int = NUM_CHANNELS,
+                     num_samples: int = WINDOW // DOWNSAMPLING) -> np.ndarray:
+    """Band-limited synthetic EEG: pink-ish noise + a mu rhythm whose power
+    over central channels depends on the class (MI suppresses mu — ERD)."""
+    rng = np.random.default_rng(seed + (0 if event_type == "mi" else 10_000))
+    fs = FS / DOWNSAMPLING
+    t = np.arange(num_samples) / fs
+    out = np.empty((n, num_channels, num_samples), np.float32)
+    central = {7, 9, 11}  # C3, Cz, C4 indices (test_eegglow.py:35)
+    for i in range(n):
+        x = rng.normal(0, 1.0, (num_channels, num_samples)).astype(np.float32)
+        # crude 1/f shaping via cumulative smoothing
+        x = np.cumsum(x, axis=1)
+        x -= x.mean(axis=1, keepdims=True)
+        x /= (x.std(axis=1, keepdims=True) + 1e-6)
+        for ch in range(num_channels):
+            f_mu = rng.uniform(9.0, 12.0)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = 1.5 if ch in central else 0.4
+            if event_type == "mi" and ch in central:
+                amp *= 0.25  # event-related desynchronisation
+            x[ch] += amp * np.sin(2 * np.pi * f_mu * t + phase)
+        out[i] = x * 10.0
+    return out
+
+
+class EEGDataset:
+    """Trials as float32 (N, C, T, 1) — the 1-D Glow treats EEG as images with
+    width 1 (flow_eeg.py:66 ``unsqueeze(2)``; layout here is channels-last in
+    the loader, see ``as_nhwc``)."""
+
+    def __init__(self, path: Optional[str] = None, dataset_type: str = "T",
+                 event_type: str = "mi", subject: Optional[str] = None,
+                 synthetic_n: int = 288, seed: int = 42):
+        trials: List[np.ndarray] = []
+        if path:
+            pattern = os.path.join(path, f"*{dataset_type}.npz")
+            files = sorted(_glob.glob(pattern))
+            if subject:
+                files = [f for f in files if subject in os.path.basename(f)]
+            for f in files:
+                trials.extend(extract_trials(np.load(f), event_type))
+        if trials:
+            self.dataset = np.asarray(trials, dtype=np.float32)
+        else:
+            salt = (hash((dataset_type, subject or "")) & 0xFFFF)
+            self.dataset = synthetic_trials(synthetic_n, event_type,
+                                            seed=seed + salt)
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def as_ncT(self) -> np.ndarray:
+        """(N, C, T) float32 — for host-side analysis (CSP/LDA, PSD)."""
+        return self.dataset
+
+    def as_nhwc(self) -> np.ndarray:
+        """(N, T, 1, C) float32 — NHWC layout for the TPU 1-D Glow where the
+        time axis plays the role of height."""
+        return np.ascontiguousarray(self.dataset.transpose(0, 2, 1)[:, :, None, :])
+
+
+def eeg_batches(ds: EEGDataset, batch_size: int, seed: int = 42):
+    """Infinite shuffled batch stream of NHWC trials (drop-last)."""
+    arr = ds.as_nhwc()
+    n = len(arr)
+    rng = np.random.default_rng(seed)
+    while True:
+        perm = rng.permutation(n)
+        for i in range(n // batch_size):
+            yield arr[perm[i * batch_size:(i + 1) * batch_size]]
