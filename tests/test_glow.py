@@ -1,0 +1,142 @@
+"""Glow tests: forward∘reverse identity, logdet correctness against
+autodiff-free finite math, ActNorm data-dependent init, EEG variant shapes
+(SURVEY.md §4: 'Glow forward∘reverse == identity and logdet correctness')."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgd_tpu.core.config import GlowConfig, GlowEEGConfig, DataConfig
+from vgd_tpu.models.glow import (GlowModel, calc_loss, calc_z_shapes,
+                                 calc_z_shapes_eeg, gaussian_log_p,
+                                 squeeze2d, squeeze_time, unsqueeze2d,
+                                 unsqueeze_time)
+from vgd_tpu.train.glow import GlowEEGTrainer, GlowTrainer
+
+KEY = jax.random.key(0)
+
+
+def tiny_model():
+    return GlowModel(in_channels=3, n_flows=2, n_blocks=2, variant="image",
+                     filter_size=32)
+
+
+def test_squeeze_roundtrip_and_channel_order():
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    y = squeeze2d(x)
+    assert y.shape == (2, 2, 2, 12)
+    np.testing.assert_array_equal(unsqueeze2d(y), x)
+    # channel = c*4 + a*2 + s (torch view/permute order, nf_code.py:401-405)
+    np.testing.assert_array_equal(y[0, 0, 0, 0], x[0, 0, 0, 0])   # c=0,a=0,s=0
+    np.testing.assert_array_equal(y[0, 0, 0, 1], x[0, 0, 1, 0])   # s=1 -> w+1
+    np.testing.assert_array_equal(y[0, 0, 0, 2], x[0, 1, 0, 0])   # a=1 -> h+1
+
+
+def test_squeeze_time_roundtrip():
+    x = jnp.arange(2 * 8 * 1 * 5, dtype=jnp.float32).reshape(2, 8, 1, 5)
+    y = squeeze_time(x)
+    assert y.shape == (2, 4, 1, 10)
+    np.testing.assert_array_equal(unsqueeze_time(y), x)
+
+
+def test_forward_reverse_identity():
+    """reverse(z_outs, reconstruct=True) must reproduce the input exactly
+    (invertibility is the defining property of the flow)."""
+    model = tiny_model()
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    variables = model.init(KEY, x)
+    log_p, logdet, z_outs = model.apply(variables, x)
+    x_rec = model.apply(variables, z_outs, True,
+                        method=GlowModel.reverse)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_actnorm_init_normalizes_first_batch():
+    model = tiny_model()
+    x = 5.0 + 2.0 * jax.random.normal(KEY, (4, 16, 16, 3))
+    variables = model.init(KEY, x)
+    _, mut = model.apply(variables, x, True, mutable=["actnorm_init"])
+    init_tree = mut["actnorm_init"]
+    # first flow's actnorm of block0 sees the squeezed input; its init must
+    # whiten it: s = 1/(std+1e-6), b = -mean  (nf_code.py:49-71)
+    sq = squeeze2d(x)
+    b0 = init_tree["block0"]["flow0"]["actnorm"]
+    np.testing.assert_allclose(np.asarray(b0["b"]),
+                               -np.asarray(jnp.mean(sq, axis=(0, 1, 2))),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b0["s"]),
+        1.0 / (np.asarray(jnp.std(sq, axis=(0, 1, 2), ddof=1)) + 1e-6),
+        rtol=1e-5)
+
+
+def test_logdet_value_additive_coupling_zero():
+    """With additive coupling, total logdet = sum over flows of
+    H*W*(sum log|s_actnorm| + sum log|s_invconv|) — check against a manual
+    recomputation from the params."""
+    model = tiny_model()
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    variables = model.init(KEY, x)
+    _, logdet, _ = model.apply(variables, x)
+    expected = 0.0
+    p = variables["params"]
+    dims = {"block0": 8 * 8, "block1": 4 * 4}
+    for bname, hw in dims.items():
+        for fname in ("flow0", "flow1"):
+            fp = p[bname][fname]
+            expected += hw * np.sum(np.log(np.abs(np.asarray(
+                fp["actnorm"]["s"]))))
+            expected += hw * np.sum(np.asarray(fp["invconv"]["plu"]["log_s"]))
+    np.testing.assert_allclose(float(logdet), expected, atol=1e-3)
+
+
+def test_z_shapes():
+    assert calc_z_shapes(3, 64, 4) == [(32, 32, 6), (16, 16, 12),
+                                       (8, 8, 24), (4, 4, 96)]
+    # flow_eeg.py:360-363 values, NHWC layout
+    assert calc_z_shapes_eeg(22, 160, 4) == [(80, 1, 22), (40, 1, 22),
+                                             (20, 1, 22), (10, 1, 44)]
+
+
+def test_calc_loss_formula():
+    """bits/dim formula (nf_code.py:528-538)."""
+    log_p = jnp.array([-1000.0, -1200.0])
+    logdet = jnp.array(50.0)
+    loss, lp, ld = calc_loss(log_p, logdet, 8, 32.0)
+    n_pixel = 8 * 8 * 3
+    expected = np.mean(-(-np.log(32.0) * n_pixel + 50.0 +
+                         np.array([-1000., -1200.])) / (np.log(2) * n_pixel))
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-6)
+
+
+def test_glow_trainer_init_and_step():
+    cfg = GlowConfig(data=DataConfig(image_size=(16, 16), batch_size=4,
+                                     normalize=False),
+                     n_flows=2, n_blocks=2, filter_size=32)
+    tr = GlowTrainer(cfg, (16, 16, 3))
+    state = tr.init(KEY, 4)
+    batch = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (4, 16, 16, 3), dtype=np.uint8))
+    state = tr.init_step(state, batch, KEY)
+    losses = []
+    for i in range(3):
+        state, m = tr.train_step(state, batch, jax.random.fold_in(KEY, i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    z = tr.sample_z(KEY, 2)
+    imgs = tr.reverse(state, z)
+    assert imgs.shape == (2, 16, 16, 3)
+
+
+def test_glow_eeg_trainer_step_and_sample():
+    cfg = GlowEEGConfig(num_channels=6, num_samples=32, n_flows=2,
+                        n_blocks=3, filter_size=16, batch_size=4)
+    tr = GlowEEGTrainer(cfg)
+    state = tr.init(KEY, 4)
+    batch = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (4, 32, 1, 6)).astype(np.float32))
+    state = tr.init_step(state, batch, KEY)
+    state, m = tr.train_step(state, batch, KEY)
+    assert np.isfinite(float(m["loss"]))
+    fakes = tr.reverse(state, tr.sample_z(KEY, 3))
+    assert fakes.shape == (3, 32, 1, 6)

@@ -1,0 +1,183 @@
+"""Image quality metrics: MSE, PSNR, SSIM, Inception Score, FID.
+
+Capability parity with the reference's torchmetrics stack (SURVEY.md §2 #34):
+* SSIM with data_range (0,1): gaussian 11x11 kernel, sigma 1.5, k1=0.01,
+  k2=0.03 (torchmetrics defaults used at e.g. vaegan_code.py:143,174);
+  inputs clamped to the range, per-image mean over channels.
+* InceptionScore / FID(feature=64): the reference relies on torchmetrics'
+  InceptionV3; here feature extraction is a Flax InceptionV3
+  (vgd_tpu.eval.inception) and the statistics (Frechet distance, IS splits)
+  are computed from accumulated features with the same formulas.
+* PSNR + MSE: named as intended denoising metrics in the reference README
+  (README.md:22) but never implemented there — implemented here properly
+  (BASELINE.md demands PSNR parity).
+
+SSIM/PSNR/MSE are pure-JAX and jittable (usable inside compiled eval steps);
+FID/IS statistics run host-side on accumulated features, as offline eval.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Pixel metrics
+# ---------------------------------------------------------------------------
+
+def mse_metric(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Mean squared error over all elements."""
+    return jnp.mean(jnp.square(pred.astype(jnp.float32)
+                               - target.astype(jnp.float32)))
+
+
+def psnr(pred: jax.Array, target: jax.Array,
+         data_range: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio, mean over the batch (dB).
+
+    Per-image MSE -> 10 log10(range^2 / mse). README.md:22 names PSNR as a
+    denoising metric; the reference never implements it.
+    """
+    p = pred.astype(jnp.float32).reshape(pred.shape[0], -1)
+    t = target.astype(jnp.float32).reshape(target.shape[0], -1)
+    per_img_mse = jnp.mean(jnp.square(p - t), axis=1)
+    return jnp.mean(10.0 * jnp.log10(data_range ** 2 /
+                                     jnp.maximum(per_img_mse, 1e-12)))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-jnp.square(coords) / (2 * sigma * sigma))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
+         kernel_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03,
+         clamp: bool = True) -> jax.Array:
+    """Structural similarity, NHWC, mean over batch.
+
+    Matches torchmetrics StructuralSimilarityIndexMeasure semantics with
+    data_range=(0,1): inputs are clamped into the range, gaussian-weighted
+    local statistics, VALID windowing, mean over all windows/channels.
+    """
+    if clamp:
+        pred = jnp.clip(pred, 0.0, data_range)
+        target = jnp.clip(target, 0.0, data_range)
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    c = pred.shape[-1]
+    kern = _gaussian_kernel(kernel_size, sigma)
+    # depthwise conv: one gaussian filter per channel
+    kern4 = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))  # HWIO, groups=c
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kern4, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    mu_p = filt(pred)
+    mu_t = filt(target)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+    sigma_pp = filt(pred * pred) - mu_pp
+    sigma_tt = filt(target * target) - mu_tt
+    sigma_pt = filt(pred * target) - mu_pt
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    ssim_map = ((2 * mu_pt + c1) * (2 * sigma_pt + c2)) / \
+        ((mu_pp + mu_tt + c1) * (sigma_pp + sigma_tt + c2))
+    return jnp.mean(ssim_map)
+
+
+# ---------------------------------------------------------------------------
+# FID / IS statistics (host-side, from accumulated features/logits)
+# ---------------------------------------------------------------------------
+
+def frechet_distance(feat_real: np.ndarray, feat_fake: np.ndarray) -> float:
+    """FID between two feature sets (N, D): ||mu1-mu2||^2 +
+    Tr(S1 + S2 - 2 sqrt(S1 S2)). Same statistic torchmetrics computes over
+    InceptionV3 features (feature=64 in the reference)."""
+    from scipy import linalg
+
+    mu1, mu2 = feat_real.mean(0), feat_fake.mean(0)
+    s1 = np.cov(feat_real, rowvar=False)
+    s2 = np.cov(feat_fake, rowvar=False)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(s1 + s2 - 2.0 * covmean))
+
+
+def inception_score_from_logits(logits: np.ndarray,
+                                splits: int = 10) -> tuple:
+    """IS = exp(E_x KL(p(y|x) || p(y))), computed over `splits` chunks
+    (torchmetrics InceptionScore default), returns (mean, std)."""
+    logits = np.asarray(logits, np.float64)
+    probs = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs /= probs.sum(axis=1, keepdims=True)
+    n = probs.shape[0]
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        py = part.mean(axis=0, keepdims=True)
+        kl = (part * (np.log(part + 1e-12) - np.log(py + 1e-12))).sum(1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+class MetricAccumulator:
+    """Streaming evaluation over batches, mirroring the reference's
+    per-epoch torchmetrics update/compute loop (vaegan_code.py:143-185):
+    SSIM on [0,1] floats; IS on fake uint8; FID on real+fake uint8 features.
+
+    feature extraction is injected (a callable uint8 NHWC -> (features,
+    logits)); see vgd_tpu.eval.inception.load_inception.
+    """
+
+    def __init__(self, feature_fn=None):
+        self.feature_fn = feature_fn
+        self.reset()
+
+    def reset(self):
+        self._ssim_sum = 0.0
+        self._ssim_n = 0
+        self._feat_real: List[np.ndarray] = []
+        self._feat_fake: List[np.ndarray] = []
+        self._logits_fake: List[np.ndarray] = []
+
+    def update(self, fake_unit: jax.Array, real_unit: jax.Array):
+        """fake/real in [0,1] float NHWC (vaegan_code.py:170-183 path)."""
+        self._ssim_sum += float(ssim(fake_unit, real_unit))
+        self._ssim_n += 1
+        if self.feature_fn is not None:
+            fake_u8 = np.asarray(jnp.clip(fake_unit * 255, 0, 255)
+                                 .astype(jnp.uint8))
+            real_u8 = np.asarray(jnp.clip(real_unit * 255, 0, 255)
+                                 .astype(jnp.uint8))
+            f_fake, l_fake = self.feature_fn(fake_u8)
+            f_real, _ = self.feature_fn(real_u8)
+            self._feat_fake.append(np.asarray(f_fake))
+            self._feat_real.append(np.asarray(f_real))
+            self._logits_fake.append(np.asarray(l_fake))
+
+    def compute(self) -> Dict[str, float]:
+        out = {"ssim": self._ssim_sum / max(self._ssim_n, 1)}
+        if self.feature_fn is not None and self._feat_fake:
+            feat_fake = np.concatenate(self._feat_fake)
+            feat_real = np.concatenate(self._feat_real)
+            logits = np.concatenate(self._logits_fake)
+            out["fid"] = frechet_distance(feat_real, feat_fake)
+            is_mean, is_std = inception_score_from_logits(logits)
+            out["inception_score"] = is_mean
+            out["inception_score_std"] = is_std
+        return out

@@ -1,0 +1,63 @@
+"""Checkpointing via orbax.
+
+The reference saves per-epoch ``state_dict`` files and never resumes
+(SURVEY.md §5: vaegan_code.py:193, main_vae.py:204-205, nf_code.py:623-625
+save model+optimizer; loading happens only in eval scripts). Here checkpoints
+carry the FULL training state — params, BatchNorm stats, optimizer moments,
+step counter and RNG key — so training is resumable, with retention of the
+last N checkpoints and async-friendly orbax storage.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Save/restore a pytree train state under ``<dir>/<step>``."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                               create=True)
+        self.manager = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, key: Optional[jax.Array] = None,
+             wait: bool = False):
+        payload = {"state": state}
+        if key is not None:
+            payload["rng_key"] = jax.random.key_data(key)
+        self.manager.save(step, args=ocp.args.StandardSave(payload))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None
+                ) -> Tuple[Any, Optional[jax.Array], int]:
+        """Restore (state, rng_key, step). ``state_template`` is a state with
+        the right structure (e.g. a freshly init'ed one)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = {"state": state_template,
+                    "rng_key": jax.random.key_data(jax.random.key(0))}
+        try:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore(template))
+            key = jax.random.wrap_key_data(restored["rng_key"])
+        except Exception:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore({"state": state_template}))
+            key = None
+        return restored["state"], key, step
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()

@@ -1,0 +1,156 @@
+"""PyTorch checkpoint importers.
+
+BASELINE.json requires "FID and PSNR parity against PyTorch checkpoints":
+these functions map reference ``state_dict`` files (saved by vaegan_code.py:
+193, main_vae.py:204-205, gan_code.py:235) onto the NHWC flax parameter
+trees, handling the layout transposes:
+
+* Conv2d weight   (O, I, kh, kw) -> (kh, kw, I, O)   [HWIO]
+* ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O)   (the spatial flip that
+  torch applies implicitly is performed inside ops.conv.conv_transpose2d,
+  so the kernel itself is stored unflipped)
+* Linear weight   (O, I)         -> (I, O)
+* BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+
+torch is only needed to *read* the files (torch.load on CPU); nothing else
+touches it.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def conv_w(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def convT_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (I, O, kh, kw) -> HWIO (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def linear_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _bn(sd, prefix):
+    return ({"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+            {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]})
+
+
+def import_generator(path: str, n_up: int) -> Dict:
+    """Reference Generator state_dict (gan_code.py:16-54) -> flax variables.
+
+    torch Sequential layout: convT at index 3i, BN at 3i+1 for i in
+    0..n_up, final 3x3 conv at 3*(n_up+1).
+    """
+    sd = _load_state_dict(path)
+    params, stats = {}, {}
+    for i in range(n_up + 1):
+        params[f"up{i}"] = {"kernel": convT_w(sd[f"main.{3 * i}.weight"])}
+        p, s = _bn(sd, f"main.{3 * i + 1}")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    params["out"] = {"kernel": conv_w(sd[f"main.{3 * (n_up + 1)}.weight"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_discriminator(path: str, n_down: int) -> Dict:
+    """Reference Discriminator state_dict (gan_code.py:56-89) -> flax.
+
+    torch Sequential layout: conv0 at 0 (no BN), then conv at 3i-1 and BN at
+    3i for i in 1..n_down-1, final conv after.
+    """
+    sd = _load_state_dict(path)
+    params, stats = {}, {}
+    params["down0"] = {"kernel": conv_w(sd["main.0.weight"])}
+    idx = 2
+    for i in range(1, n_down):
+        params[f"down{i}"] = {"kernel": conv_w(sd[f"main.{idx}.weight"])}
+        p, s = _bn(sd, f"main.{idx + 1}")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+        idx += 3
+    params["out"] = {"kernel": conv_w(sd[f"main.{idx}.weight"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_encoder(path: str) -> Dict:
+    """Reference Encoder state_dict (main_vae.py:34-58) -> flax variables.
+
+    NOTE on the flatten order: torch flattens (C, H, W); the NHWC encoder
+    flattens (H, W, C). The fc weight rows are permuted accordingly so the
+    imported model is numerically identical.
+    """
+    sd = _load_state_dict(path)
+    params, stats = {}, {}
+    for i in range(4):
+        params[f"conv{i}"] = {
+            "kernel": conv_w(sd[f"cnn.{i}.conv.weight"]),
+            "bias": sd[f"cnn.{i}.conv.bias"]}
+        p, s = _bn(sd, f"cnn.{i}.bn")
+        params[f"bn{i}"] = p
+        stats[f"bn{i}"] = s
+    c = sd["cnn.3.conv.weight"].shape[0]       # final channels (256)
+    for name in ("fc_mu", "fc_logvar"):
+        w = sd[f"{name}.weight"]               # (latent, C*H*W), CHW order
+        latent, flat = w.shape
+        hw = flat // c
+        side = int(round(hw ** 0.5))
+        # (latent, C, H, W) -> (latent, H, W, C) -> (HWC, latent)
+        w = w.reshape(latent, c, side, side).transpose(0, 2, 3, 1)
+        params[name] = {"kernel": w.reshape(latent, -1).T,
+                        "bias": sd[f"{name}.bias"]}
+    return {"params": params, "batch_stats": stats}
+
+
+def import_inception(path: str, variables: Dict) -> Dict:
+    """pytorch-fid / torchvision inception state_dict -> the flax
+    InceptionV3 of vgd_tpu.eval.inception (module names match torch's)."""
+    sd = _load_state_dict(path)
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    def walk(tree, stats_tree, prefix):
+        for name, sub in tree.items():
+            tkey = f"{prefix}{name}" if not prefix else f"{prefix}.{name}"
+            if name == "conv" and "kernel" in sub:
+                sub["kernel"] = conv_w(sd[f"{tkey}.weight"])
+            elif name == "bn" and "scale" in sub:
+                sub["scale"] = sd[f"{tkey}.weight"]
+                sub["bias"] = sd[f"{tkey}.bias"]
+            elif name == "fc":
+                sub["kernel"] = linear_w(sd["fc.weight"])
+                sub["bias"] = sd["fc.bias"]
+            elif isinstance(sub, dict):
+                walk(sub, stats_tree.get(name, {}) if stats_tree else {},
+                     tkey)
+        return tree
+
+    params = walk(params, stats, "")
+
+    def walk_stats(tree, prefix):
+        for name, sub in tree.items():
+            tkey = f"{prefix}{name}" if not prefix else f"{prefix}.{name}"
+            if name == "bn" and "mean" in sub:
+                sub["mean"] = sd[f"{tkey}.running_mean"]
+                sub["var"] = sd[f"{tkey}.running_var"]
+            elif isinstance(sub, dict):
+                walk_stats(sub, tkey)
+        return tree
+
+    stats = walk_stats(stats, "")
+    return {"params": params, "batch_stats": stats}

@@ -81,12 +81,9 @@ class ActNorm(nn.Module):
             std = jnp.std(x, axis=(0, 1, 2), ddof=1)
             b = -mean
             s = 1.0 / (std + 1e-6)
-            iv_b = self.variable("actnorm_init", "b",
-                                 lambda: jnp.zeros(self.channels, F32))
-            iv_s = self.variable("actnorm_init", "s",
-                                 lambda: jnp.ones(self.channels, F32))
-            iv_b.value = b
-            iv_s.value = s
+            overwrite = lambda prev, new: new  # noqa: E731
+            self.sow("actnorm_init", "b", b, reduce_fn=overwrite)
+            self.sow("actnorm_init", "s", s, reduce_fn=overwrite)
         else:
             b, s = self.b, self.s
         y = s * (x + b)
