@@ -1,0 +1,72 @@
+"""Benchmark: flagship VAE-GAN training throughput (images/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Config matches BASELINE.json config 1: CelebA 64x64, batch 64, the full
+reference training step (encode/reparam/decode, 2 discriminator Adam steps
+with label smoothing + instance noise, G/E step with pixel MSE + KL warmup +
+adversarial BCE — vaegan_code.py:55-135 semantics) compiled into one XLA
+program, bf16 conv compute.
+
+Baseline: the reference's own torch implementation measured on this host's
+CPU via benchmarks/reference_baseline_torch.py (the reference publishes no
+numbers; SURVEY.md §6). Measured 2026-08-16: 18.93 train images/sec
+(torch 2.13.0+cpu, batch 64, 64x64).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_TRAIN_IPS = 18.93  # reference torch CPU, measured (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vgd_tpu.core.config import DataConfig, VAEGANConfig
+    from vgd_tpu.data.celeba import synthetic_faces
+    from vgd_tpu.train.vaegan import VAEGANTrainer
+
+    batch_size, img = 64, 64
+    cfg = VAEGANConfig(data=DataConfig(image_size=(img, img),
+                                       batch_size=batch_size))
+    trainer = VAEGANTrainer(cfg, (img, img, 3))
+    key = jax.random.key(42)
+    state = trainer.init(key, batch_size)
+
+    data = synthetic_faces(256, (img, img), seed=0)
+    batches = [jnp.asarray(data[i * batch_size:(i + 1) * batch_size])
+               for i in range(len(data) // batch_size)]
+
+    # warmup / compile
+    state, m = trainer.train_step(state, batches[0], key, jnp.float32(0.5))
+    jax.block_until_ready(m["recon"])
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = trainer.train_step(state, batches[i % len(batches)],
+                                      jax.random.fold_in(key, i),
+                                      jnp.float32(0.5))
+    jax.block_until_ready(m["recon"])
+    dt = time.perf_counter() - t0
+    ips = n_steps * batch_size / dt
+
+    print(json.dumps({
+        "metric": "VAE-GAN train throughput (CelebA 64x64, batch 64, "
+                  "full 3-optimizer step)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_TRAIN_IPS, 2),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "step_ms": round(1000 * dt / n_steps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
