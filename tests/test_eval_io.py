@@ -1,0 +1,125 @@
+"""Eval + IO tests: aggregated-posterior sampler, EEG TSTR stack
+(bandpass/CSP/LDA), artifacts, orbax checkpoint round-trip."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vgd_tpu.data.eeg import EEGDataset, synthetic_trials
+from vgd_tpu.eval.eeg_downstream import (CSP, bandpass_filter,
+                                         mean_central_psd, tstr_evaluate)
+from vgd_tpu.eval.sampling import (sample_distribution, vals_to_hist)
+from vgd_tpu.io.artifacts import MetricLog, save_grid, save_loss_curves
+from vgd_tpu.io.checkpoint import Checkpointer
+
+KEY = jax.random.key(0)
+
+
+def test_vals_to_hist_and_inverse_sampling():
+    """Samples drawn from the empirical CDF reproduce the source
+    distribution's moments (main_vae.py:415-436 protocol)."""
+    rng = np.random.default_rng(0)
+    data = np.stack([rng.normal(2.0, 1.0, 20_000),
+                     rng.normal(-3.0, 0.5, 20_000)], axis=1)
+    bins, cdf = vals_to_hist(data, n_bins=100)
+    assert bins.shape == (2, 101) and cdf.shape == (2, 100)
+    samples = sample_distribution(bins, cdf, 20_000, rng)
+    np.testing.assert_allclose(samples.mean(0), [2.0, -3.0], atol=0.1)
+    np.testing.assert_allclose(samples.std(0), [1.0, 0.5], atol=0.1)
+
+
+def test_bandpass_attenuates_out_of_band():
+    fs = 62.5
+    t = np.arange(0, 8, 1 / fs)
+    low = np.sin(2 * np.pi * 2 * t)      # 2 Hz, out of band
+    mid = np.sin(2 * np.pi * 15 * t)     # 15 Hz, in band
+    f_low = bandpass_filter(low[None, None, :])[0, 0]
+    f_mid = bandpass_filter(mid[None, None, :])[0, 0]
+    assert np.std(f_mid[100:]) > 5 * np.std(f_low[100:])
+
+
+def test_csp_separates_variance_structure():
+    rng = np.random.default_rng(0)
+    n, c, t = 60, 6, 128
+    X0 = rng.normal(0, 1, (n, c, t))
+    X1 = rng.normal(0, 1, (n, c, t))
+    X1[:, 2, :] *= 4.0                    # class-dependent channel variance
+    X = np.concatenate([X0, X1])
+    y = np.concatenate([np.zeros(n), np.ones(n)])
+    feats = CSP(n_components=2).fit_transform(X, y)
+    assert feats.shape == (2 * n, 2)
+    # features must be separable: simple threshold accuracy well above chance
+    from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+    lda = LinearDiscriminantAnalysis().fit(feats, y)
+    assert lda.score(feats, y) > 0.9
+
+
+def test_tstr_on_synthetic_erd_data():
+    """Synthetic EEG carries a class-dependent mu-rhythm (ERD); the full
+    bandpass->CSP->LDA pipeline must classify it well above chance
+    (test_eegglow.py:169-194 protocol)."""
+    tr_mi = synthetic_trials(80, "mi", seed=1)
+    tr_bl = synthetic_trials(80, "baseline", seed=1)
+    te_mi = synthetic_trials(40, "mi", seed=2)
+    te_bl = synthetic_trials(40, "baseline", seed=2)
+    X_train = np.concatenate([tr_mi, tr_bl]).astype(np.float64)
+    y_train = np.concatenate([np.ones(80), np.zeros(80)])
+    X_test = np.concatenate([te_mi, te_bl]).astype(np.float64)
+    y_test = np.concatenate([np.ones(40), np.zeros(40)])
+    train_scores, test_scores = tstr_evaluate(X_train, y_train,
+                                              X_test, y_test)
+    assert train_scores["acc"] > 0.8
+    assert test_scores["acc"] > 0.7
+    assert -1.0 <= test_scores["k"] <= 1.0
+
+
+def test_mean_central_psd_shape():
+    trials = synthetic_trials(8, "baseline", seed=0)
+    fx, psd = mean_central_psd(trials)
+    assert fx.shape == psd.shape and len(fx) > 10
+    # mu rhythm peak (9-12 Hz) should dominate for baseline
+    band = (fx > 8) & (fx < 13)
+    out_band = (fx > 20) & (fx < 30)
+    assert psd[band].mean() > psd[out_band].mean()
+
+
+def test_eeg_dataset_synthetic_layout():
+    ds = EEGDataset(path=None, synthetic_n=12)
+    assert ds.as_ncT().shape == (12, 22, 160)
+    assert ds.as_nhwc().shape == (12, 160, 1, 22)
+
+
+def test_artifacts(tmp_path):
+    imgs = np.random.default_rng(0).uniform(-1, 1, (4, 8, 8, 3))
+    save_grid(imgs, str(tmp_path / "grid.jpg"), nrow=2)
+    save_loss_curves({"d": [1, 2], "g": [3, 4]},
+                     str(tmp_path / "loss.jpg"))
+    log = MetricLog(str(tmp_path), "m")
+    log.append(epoch=0, loss=1.0)
+    log.append(epoch=1, loss=0.5, extra=2.0)
+    log.save()
+    assert (tmp_path / "grid.jpg").exists()
+    assert (tmp_path / "loss.jpg").exists()
+    data = np.load(tmp_path / "m.npz", allow_pickle=True)
+    assert data["values"].shape == (2, 3)
+    assert log.curves()["loss"] == [1.0, 0.5]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.arange(4.0)},
+             "step": jnp.int32(3)}
+    ck = Checkpointer(str(tmp_path / "ck"), keep=2)
+    ck.save(1, state, KEY, wait=True)
+    state2 = {"params": {"w": jnp.full(4, 9.0)}, "step": jnp.int32(0)}
+    restored, rkey, step = ck.restore(state2)
+    assert step == 1
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(4.0))
+    assert rkey is not None
+    ck.save(2, state, KEY, wait=True)
+    ck.save(3, state, KEY, wait=True)
+    ck.manager.wait_until_finished()
+    assert ck.latest_step() == 3
+    ck.close()

@@ -1,0 +1,264 @@
+"""Unified CLI for every workload.
+
+The reference toggles behaviour by editing ``__main__`` blocks (SURVEY.md §5
+config system); only train_diffusion.py:69-76 has an argparse CLI. Here one
+CLI covers train / eval / sample / denoise across the five model families:
+
+  python -m vgd_tpu.cli vaegan    --data /path/celebahq --epochs 150
+  python -m vgd_tpu.cli vae       --epochs 100 --noise-std 0.5
+  python -m vgd_tpu.cli gan       --epochs 150 --batch-size 128
+  python -m vgd_tpu.cli wgan      --epochs 1500
+  python -m vgd_tpu.cli glow      --iters 30000 --image-size 64
+  python -m vgd_tpu.cli glow-eeg  --iters 6000 --event-type mi
+  python -m vgd_tpu.cli diffusion --epochs 100 --timesteps 1000 [--no-attn]
+  python -m vgd_tpu.cli denoise   --ckpt runs/vae/ckpt --input img.jpg
+  python -m vgd_tpu.cli tstr      --method synt   # EEG downstream eval
+
+With no --data, a synthetic dataset is used (smoke/bench runs work without
+any downloads).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from vgd_tpu.core import config as C
+
+
+def _add_common(p):
+    p.add_argument("--data", type=str, default=None,
+                   help="folder of *.jpg (default: synthetic)")
+    p.add_argument("--out-dir", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--dataset-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="truncate epochs (smoke runs)")
+    p.add_argument("--compute-dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile-dir", type=str, default=None)
+    p.add_argument("--debug-nans", action="store_true")
+
+
+def _data_cfg(base: C.DataConfig, a) -> C.DataConfig:
+    kw = {}
+    if a.data is not None:
+        kw["path"] = a.data
+    if a.batch_size is not None:
+        kw["batch_size"] = a.batch_size
+    if a.image_size is not None:
+        kw["image_size"] = (a.image_size, a.image_size)
+    if a.dataset_size is not None:
+        kw["dataset_size"] = a.dataset_size
+    return dataclasses.replace(base, **kw)
+
+
+def _run_cfg(base: C.RunConfig, a, default_out: str) -> C.RunConfig:
+    kw = {"seed": a.seed, "out_dir": a.out_dir or default_out}
+    if a.compute_dtype is not None:
+        kw["compute_dtype"] = a.compute_dtype
+    if a.profile_dir is not None:
+        kw["profile_dir"] = a.profile_dir
+    if a.debug_nans:
+        kw["debug_nans"] = True
+    return dataclasses.replace(base, **kw)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="vgd_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("vaegan", "vae", "gan", "wgan", "glow", "glow-eeg",
+                 "diffusion"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "vae":
+            p.add_argument("--noise-std", type=float, default=0.5)
+        if name == "glow-eeg":
+            p.add_argument("--event-type", default="mi",
+                           choices=["mi", "baseline"])
+            p.add_argument("--eeg-path", type=str, default=None)
+        if name == "diffusion":
+            p.add_argument("--timesteps", type=int, default=1000)
+            p.add_argument("--no-attn", action="store_true")
+
+    p = sub.add_parser("denoise", help="encode->decode restoration "
+                       "(main_vae.py test_img capability)")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--input", required=True, help="image file or folder")
+    p.add_argument("--output", default="denoised.png")
+    p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("tstr", help="EEG TSTR downstream eval "
+                       "(test_eegglow.py capability)")
+    p.add_argument("--method", default="synt",
+                   choices=["synt", "real", "sr", "other_sub"])
+    p.add_argument("--eeg-path", type=str, default=None)
+    p.add_argument("--ckpt-dir", type=str, default="runs/glow_eeg")
+    p.add_argument("--subjects", nargs="*", default=["01"])
+    p.add_argument("--iters", type=int, default=None)
+
+    a = ap.parse_args(argv)
+    from vgd_tpu.train import loop as L
+
+    if a.cmd == "vaegan":
+        cfg = C.VAEGANConfig()
+        cfg = dataclasses.replace(
+            cfg, data=_data_cfg(cfg.data, a),
+            run=_run_cfg(cfg.run, a, "runs/vaegan"),
+            **({"epochs": a.epochs} if a.epochs else {}),
+            **({"lr": a.lr} if a.lr else {}))
+        L.run_vaegan(cfg, max_steps_per_epoch=a.steps_per_epoch)
+    elif a.cmd == "vae":
+        cfg = C.VAEConfig()
+        data = dataclasses.replace(_data_cfg(cfg.data, a),
+                                   noise_max_std=a.noise_std)
+        cfg = dataclasses.replace(
+            cfg, data=data, run=_run_cfg(cfg.run, a, "runs/vae"),
+            **({"epochs": a.epochs} if a.epochs else {}),
+            **({"lr": a.lr} if a.lr else {}))
+        L.run_vae(cfg, max_steps_per_epoch=a.steps_per_epoch)
+    elif a.cmd in ("gan", "wgan"):
+        cfg = C.GANConfig(wgan=(a.cmd == "wgan"))
+        cfg = dataclasses.replace(
+            cfg, data=_data_cfg(cfg.data, a),
+            run=_run_cfg(cfg.run, a, f"runs/{a.cmd}"),
+            **({"epochs": a.epochs} if a.epochs else {}),
+            **({"lr": a.lr} if a.lr else {}))
+        L.run_gan(cfg, max_steps_per_epoch=a.steps_per_epoch)
+    elif a.cmd == "glow":
+        cfg = C.GlowConfig()
+        cfg = dataclasses.replace(
+            cfg, data=_data_cfg(cfg.data, a),
+            run=_run_cfg(cfg.run, a, "runs/glow"),
+            **({"n_iter": a.iters} if a.iters else {}),
+            **({"lr": a.lr} if a.lr else {}))
+        L.run_glow(cfg)
+    elif a.cmd == "glow-eeg":
+        cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)
+        cfg = dataclasses.replace(
+            cfg, run=_run_cfg(cfg.run, a, "runs/glow_eeg"),
+            **({"n_iter": a.iters} if a.iters else {}),
+            **({"lr": a.lr} if a.lr else {}))
+        L.run_glow_eeg(cfg)
+    elif a.cmd == "diffusion":
+        cfg = C.DiffusionConfig(timesteps=a.timesteps,
+                                attention=not a.no_attn)
+        cfg = dataclasses.replace(
+            cfg, data=_data_cfg(cfg.data, a),
+            run=_run_cfg(cfg.run, a, "runs/diffusion"),
+            **({"epochs": a.epochs} if a.epochs else {}),
+            **({"lr": a.lr} if a.lr else {}))
+        L.run_diffusion(cfg, max_steps_per_epoch=a.steps_per_epoch)
+    elif a.cmd == "denoise":
+        _denoise(a)
+    elif a.cmd == "tstr":
+        _tstr(a)
+    return 0
+
+
+def _denoise(a):
+    """Single-image / folder denoising via a trained VAE checkpoint
+    (main_vae.py:376-413 test_img capability)."""
+    import glob as g
+    import os
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+    from vgd_tpu.core.config import VAEConfig, DataConfig
+    from vgd_tpu.io.checkpoint import Checkpointer
+    from vgd_tpu.train.vae import VAETrainer
+
+    size = (a.image_size, a.image_size)
+    cfg = VAEConfig(data=DataConfig(image_size=size))
+    trainer = VAETrainer(cfg, size + (3,))
+    key = jax.random.key(a.seed)
+    template = trainer.init(key, 1)
+    ckpt = Checkpointer(a.ckpt)
+    state, _, step = ckpt.restore(template)
+    print(f"restored checkpoint step {step}")
+
+    paths = ([a.input] if os.path.isfile(a.input)
+             else sorted(g.glob(os.path.join(a.input, "*.jpg"))))
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize(size)
+        x = jnp.asarray(np.asarray(img), jnp.float32)[None] / 127.5 - 1.0
+        out = trainer.denoise(state, x, key)
+        out_u8 = np.asarray(jnp.clip((out[0] + 1) * 127.5, 0, 255)
+                            ).astype(np.uint8)
+        dst = (a.output if len(paths) == 1 else
+               os.path.join(os.path.dirname(a.output) or ".",
+                            f"denoised_{os.path.basename(p)}"))
+        Image.fromarray(out_u8).save(dst)
+        print(f"{p} -> {dst}")
+
+
+def _tstr(a):
+    """EEG TSTR protocol (test_eegglow.py:105-197): train CSP+LDA on
+    {synthetic, real, both, other-subject} data, test on real E-session."""
+    import numpy as np
+    from vgd_tpu.data.eeg import EEGDataset
+    from vgd_tpu.eval.eeg_downstream import tstr_evaluate
+    results = {}
+    for i, subject in enumerate(a.subjects):
+        te_mi = EEGDataset(a.eeg_path, "E", "mi", subject).as_ncT()
+        te_bl = EEGDataset(a.eeg_path, "E", "baseline", subject).as_ncT()
+        X_test = np.concatenate([te_mi, te_bl]).astype(np.float64)
+        y_test = np.concatenate([np.ones(len(te_mi)), np.zeros(len(te_bl))])
+
+        X_parts, y_parts = [], []
+        if a.method in ("synt", "sr"):
+            X_mi, X_bl = _generate_synthetic_eeg(a)
+            X_parts += [X_mi, X_bl]
+            y_parts += [np.ones(len(X_mi)), np.zeros(len(X_bl))]
+        if a.method in ("real", "sr", "other_sub"):
+            src = (a.subjects[i - 1] if a.method == "other_sub" else subject)
+            tr_mi = EEGDataset(a.eeg_path, "T", "mi", src).as_ncT()
+            tr_bl = EEGDataset(a.eeg_path, "T", "baseline", src).as_ncT()
+            X_parts += [tr_mi, tr_bl]
+            y_parts += [np.ones(len(tr_mi)), np.zeros(len(tr_bl))]
+        X_train = np.concatenate(X_parts).astype(np.float64)
+        y_train = np.concatenate(y_parts)
+
+        train_scores, test_scores = tstr_evaluate(X_train, y_train,
+                                                  X_test, y_test)
+        results[subject] = {"train": train_scores, "test": test_scores}
+        print(f"subject {subject} method {a.method}: "
+              f"train {train_scores} | test {test_scores}")
+    print(json.dumps(results))
+
+
+def _generate_synthetic_eeg(a, n_samples: int = 288):
+    """Sample trained per-class EEG flows (test_eegglow.py:55-77)."""
+    import os
+    import jax
+    import numpy as np
+    from vgd_tpu.core.config import GlowEEGConfig
+    from vgd_tpu.io.checkpoint import Checkpointer
+    from vgd_tpu.train.glow import GlowEEGTrainer
+
+    out = []
+    for etype in ("mi", "baseline"):
+        cfg = GlowEEGConfig(event_type=etype)
+        trainer = GlowEEGTrainer(cfg)
+        key = jax.random.key(42)
+        template = trainer.init(key, 16)
+        ckpt = Checkpointer(os.path.join(a.ckpt_dir, f"ckpt_{etype}"))
+        state, _, _ = ckpt.restore(template)
+        z = trainer.sample_z(key, n_samples)
+        fakes = trainer.reverse(state, z)    # (N, T, 1, C)
+        out.append(np.asarray(fakes)[:, :, 0, :].transpose(0, 2, 1))
+    return out[0], out[1]
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,6 +60,11 @@ class RunConfig:
     compute_dtype: str = "bfloat16"      # conv/matmul compute dtype
     param_dtype: str = "float32"
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    # observability (SURVEY.md §5): jax.profiler trace of a step window, and
+    # NaN debugging (the TPU-side counterpart of cudnn.deterministic flags)
+    profile_dir: Optional[str] = None
+    profile_steps: Tuple[int, int] = (10, 20)
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

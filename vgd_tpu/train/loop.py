@@ -1,0 +1,508 @@
+"""Training-loop drivers for every workload.
+
+These are the runnable counterparts of the reference's entry points
+(SURVEY.md §1): epoch-driven loops for VAE-GAN / VAE / DCGAN / WGAN /
+diffusion (vaegan_code.py:55, main_vae.py:96, gan_code.py:187/289,
+train_diffusion.py:110) and iteration-driven loops for the Glow models
+(nf_code.py:577, flow_eeg.py:372). Shared responsibilities:
+
+* device prefetch of uint8 batches (replaces DataLoader workers/pin_memory),
+* per-epoch validation with SSIM / PSNR / MSE (+ IS / FID when a feature
+  extractor is configured),
+* orbax checkpointing of the FULL state (resumable — the reference only
+  ever saves, SURVEY.md §5),
+* artifact dumps: fixed-noise sample grids, noisy/clean/recon panels, loss
+  curves, npz/jsonl metric logs,
+* optional jax.profiler trace of a step window + per-step timing,
+* deterministic RNG threading from a single seed.
+
+Loops accept ``max_steps`` / epoch overrides so smoke tests and benchmarks
+reuse the exact production code path.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgd_tpu.core.config import (DiffusionConfig, GANConfig, GlowConfig,
+                                 GlowEEGConfig, VAEConfig, VAEGANConfig)
+from vgd_tpu.core.rng import seed_all
+from vgd_tpu.data.celeba import make_image_datasets
+from vgd_tpu.data.eeg import EEGDataset, eeg_batches
+from vgd_tpu.eval.metrics import MetricAccumulator, psnr, mse_metric, ssim
+from vgd_tpu.io.artifacts import (MetricLog, save_grid, save_loss_curves,
+                                  save_triplets)
+from vgd_tpu.io.checkpoint import Checkpointer
+from vgd_tpu.ops.image import signed_to_unit, to_signed
+from vgd_tpu.utils.prefetch import device_prefetch
+
+
+class _Profiler:
+    """jax.profiler trace over a configured step window (SURVEY.md §5)."""
+
+    def __init__(self, run_cfg):
+        self.dir = run_cfg.profile_dir
+        self.start_step, self.stop_step = run_cfg.profile_steps
+        self.active = False
+
+    def step(self, i: int):
+        if not self.dir:
+            return
+        if i == self.start_step and not self.active:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        elif i == self.stop_step and self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+    def close(self):
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+
+def _setup(cfg_run):
+    if cfg_run.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    os.makedirs(cfg_run.out_dir, exist_ok=True)
+    return seed_all(cfg_run.seed)
+
+
+def _epoch_metrics_header(log, out_dir, prefix=""):
+    save_loss_curves(log.curves(), os.path.join(out_dir,
+                                                f"{prefix}losses.jpg"))
+    log.save()
+
+
+# ---------------------------------------------------------------------------
+# VAE-GAN (vaegan_code.py:18-219)
+# ---------------------------------------------------------------------------
+
+def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
+               max_steps_per_epoch: Optional[int] = None,
+               feature_fn: Optional[Callable] = None,
+               resume: bool = False) -> Dict:
+    from vgd_tpu.train.vaegan import VAEGANTrainer
+
+    key = _setup(cfg.run)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = VAEGANTrainer(cfg, img_shape)
+    state = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
+                        keep=cfg.run.keep_checkpoints)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state, rkey, start_epoch = ckpt.restore(state)
+        key = rkey if rkey is not None else key
+    log = MetricLog(cfg.run.out_dir)
+    prof = _Profiler(cfg.run)
+    fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
+                                (64, cfg.latent_dim))
+    epochs = cfg.epochs if epochs is None else epochs
+
+    gstep = 0
+    for epoch in range(start_epoch, epochs):
+        ramp = jnp.float32(trainer.kl_ramp(epoch))
+        sums, count, n_sampled, t0 = {}, 0, 0, time.perf_counter()
+        for i, (batch, _) in enumerate(train.epoch()):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            prof.step(gstep)
+            state, m = trainer.train_step(state, jnp.asarray(batch),
+                                          jax.random.fold_in(key, gstep),
+                                          ramp)
+            gstep += 1
+            count += 1
+            # fetch loss scalars only every 50 steps — the reference syncs
+            # .item() three times per batch (vaegan_code.py:125-127)
+            if count == 1 or count % 50 == 0:
+                n_sampled += 1
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+        dt = time.perf_counter() - t0
+        ips = count * cfg.data.batch_size / max(dt, 1e-9)
+
+        # validation: denoise pass + SSIM/PSNR/MSE (+IS/FID) — the
+        # reference's per-epoch loop (vaegan_code.py:143-191)
+        acc = MetricAccumulator(feature_fn=feature_fn)
+        val_loss, n_val, panel = 0.0, 0, None
+        for j, (vbatch, n_valid) in enumerate(val.epoch()):
+            ev = trainer.eval_step(state, jnp.asarray(vbatch),
+                                   jax.random.fold_in(key, 10_000 + j))
+            val_loss += float(ev["val_loss"]) * n_valid
+            n_val += n_valid
+            img = to_signed(jnp.asarray(vbatch))
+            acc.update(signed_to_unit(ev["recon"]), signed_to_unit(img))
+            if panel is None:
+                panel = (np.asarray(ev["noisy"]), np.asarray(img),
+                         np.asarray(ev["recon"]))
+        metrics = acc.compute()
+        metrics["psnr"] = float(psnr(signed_to_unit(jnp.asarray(panel[2])),
+                                     signed_to_unit(jnp.asarray(panel[1]))))
+        row = {("train_" + k): v / max(1, n_sampled)
+               for k, v in sums.items()}
+        row.update(val_loss=val_loss / max(n_val, 1),
+                   images_per_sec=ips, **metrics)
+        log.append(epoch=epoch, **row)
+        print(f"[vaegan] epoch {epoch + 1}/{epochs} "
+              f"recon={row.get('train_recon', 0):.4f} "
+              f"val={row['val_loss']:.4f} ssim={metrics.get('ssim', 0):.4f} "
+              f"psnr={metrics.get('psnr', 0):.2f} {ips:.0f} img/s")
+
+        if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
+            ckpt.save(epoch + 1, state, key)
+        save_triplets(*panel, os.path.join(
+            cfg.run.out_dir, f"vaegan_decode_epoch_{epoch + 1:04d}.jpg"))
+        fake = trainer.generate(state, fixed_z)
+        save_grid(np.asarray(fake), os.path.join(
+            cfg.run.out_dir, f"vaegan_fake_epoch_{epoch + 1:04d}.jpg"))
+        _epoch_metrics_header(log, cfg.run.out_dir)
+    prof.close()
+    ckpt.close()
+    return {"state": state, "log": log.history}
+
+
+# ---------------------------------------------------------------------------
+# Denoising VAE (main_vae.py:60-213)
+# ---------------------------------------------------------------------------
+
+def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
+            max_steps_per_epoch: Optional[int] = None,
+            resume: bool = False) -> Dict:
+    from vgd_tpu.train.vae import VAETrainer
+
+    key = _setup(cfg.run)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = VAETrainer(cfg, img_shape)
+    state = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
+                        keep=cfg.run.keep_checkpoints)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state, rkey, start_epoch = ckpt.restore(state)
+        key = rkey if rkey is not None else key
+    log = MetricLog(cfg.run.out_dir, "vae_loss")
+    prof = _Profiler(cfg.run)
+    fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
+                                (64, cfg.latent_dim))
+    epochs = cfg.epochs if epochs is None else epochs
+
+    gstep = 0
+    for epoch in range(start_epoch, epochs):
+        ramp = jnp.float32(min(epoch / cfg.kl_warmup_epochs, 1.0))
+        total, count = 0.0, 0
+        t0 = time.perf_counter()
+        for i, (batch, _) in enumerate(train.epoch()):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            prof.step(gstep)
+            state, m = trainer.train_step(state, jnp.asarray(batch),
+                                          jax.random.fold_in(key, gstep),
+                                          ramp)
+            gstep += 1
+            count += 1
+            total += float(m["total"])
+        ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
+                                                1e-9)
+        val_loss, n_val, panel = 0.0, 0, None
+        mse_v = psnr_v = ssim_v = 0.0
+        for j, (vbatch, n_valid) in enumerate(val.epoch()):
+            ev = trainer.eval_step(state, jnp.asarray(vbatch),
+                                   jax.random.fold_in(key, 20_000 + j))
+            val_loss += float(ev["val_loss"]) * n_valid
+            n_val += n_valid
+            img = to_signed(jnp.asarray(vbatch))
+            ru, iu = signed_to_unit(ev["recon"]), signed_to_unit(img)
+            mse_v += float(mse_metric(ru, iu))
+            psnr_v += float(psnr(ru, iu))
+            ssim_v += float(ssim(ru, iu))
+            if panel is None:
+                panel = (np.asarray(ev["noisy"]), np.asarray(img),
+                         np.asarray(ev["recon"]))
+        n_b = max(j + 1, 1)
+        log.append(epoch=epoch, train_loss=total / max(count, 1),
+                   val_loss=val_loss / max(n_val, 1), images_per_sec=ips,
+                   mse=mse_v / n_b, psnr=psnr_v / n_b, ssim=ssim_v / n_b)
+        print(f"[vae] epoch {epoch + 1}/{epochs} "
+              f"train={total / max(count, 1):.4f} "
+              f"psnr={psnr_v / n_b:.2f} ssim={ssim_v / n_b:.4f} "
+              f"{ips:.0f} img/s")
+        if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
+            ckpt.save(epoch + 1, state, key)
+        save_triplets(*panel, os.path.join(
+            cfg.run.out_dir, f"valimg_{epoch:04d}.jpg"))
+        fake = trainer.generate(state, fixed_z)
+        save_grid(np.asarray(fake), os.path.join(
+            cfg.run.out_dir, f"vae_fake_epoch_{epoch + 1:04d}.jpg"))
+        _epoch_metrics_header(log, cfg.run.out_dir, "vae_")
+    prof.close()
+    ckpt.close()
+    return {"state": state, "log": log.history}
+
+
+# ---------------------------------------------------------------------------
+# DCGAN / WGAN (gan_code.py:162-372)
+# ---------------------------------------------------------------------------
+
+def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
+            max_steps_per_epoch: Optional[int] = None,
+            resume: bool = False) -> Dict:
+    from vgd_tpu.train.gan import GANTrainer
+
+    key = _setup(cfg.run)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = GANTrainer(cfg, img_shape)
+    state = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
+                        keep=cfg.run.keep_checkpoints)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state, rkey, start_epoch = ckpt.restore(state)
+        key = rkey if rkey is not None else key
+    log = MetricLog(cfg.run.out_dir, "gan_loss")
+    prof = _Profiler(cfg.run)
+    fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
+                                (64, 1, 1, cfg.latent_dim))
+    epochs = cfg.epochs if epochs is None else epochs
+    step_fn = trainer.train_step_wgan if cfg.wgan else trainer.train_step
+
+    gstep = 0
+    for epoch in range(start_epoch, epochs):
+        d_sum = g_sum = 0.0
+        count = 0
+        t0 = time.perf_counter()
+        for i, (batch, _) in enumerate(train.epoch()):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            prof.step(gstep)
+            state, m = step_fn(state, jnp.asarray(batch),
+                               jax.random.fold_in(key, gstep))
+            gstep += 1
+            count += 1
+            d_sum += float(m["d_loss"])
+            g_sum += float(m["g_loss"])
+        ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
+                                                1e-9)
+        log.append(epoch=epoch, d_loss=d_sum / max(count, 1),
+                   g_loss=g_sum / max(count, 1), images_per_sec=ips)
+        print(f"[{'wgan' if cfg.wgan else 'gan'}] epoch {epoch + 1}/{epochs} "
+              f"D={d_sum / max(count, 1):.4f} G={g_sum / max(count, 1):.4f} "
+              f"{ips:.0f} img/s")
+        if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
+            ckpt.save(epoch + 1, state, key)
+        fake = trainer.generate(state, fixed_z)
+        save_grid(np.asarray(fake), os.path.join(
+            cfg.run.out_dir, f"gan_fake_epoch_{epoch + 1:04d}.jpg"))
+        _epoch_metrics_header(log, cfg.run.out_dir, "gan_")
+    prof.close()
+    ckpt.close()
+    return {"state": state, "log": log.history}
+
+
+def evaluate_gan_checkpoints(cfg: GANConfig, feature_fn=None,
+                             max_checkpoints: Optional[int] = None) -> list:
+    """Sweep saved checkpoints, generating from the prior and scoring
+    SSIM/IS/FID vs the val set (eval_gan/evaluate_gan, gan_code.py:99-160)."""
+    from vgd_tpu.train.gan import GANTrainer
+
+    key = seed_all(cfg.run.seed)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = GANTrainer(cfg, img_shape)
+    template = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"))
+    steps = ckpt.manager.all_steps()
+    if max_checkpoints:
+        steps = steps[-max_checkpoints:]
+    results = []
+    for s in steps:
+        state, _, _ = ckpt.restore(template, step=s)
+        acc = MetricAccumulator(feature_fn=feature_fn)
+        for j, (vbatch, n_valid) in enumerate(val.epoch()):
+            z = jax.random.normal(jax.random.fold_in(key, j),
+                                  (len(vbatch), 1, 1, cfg.latent_dim))
+            fake = trainer.generate(state, z)
+            real = to_signed(jnp.asarray(vbatch))
+            acc.update(signed_to_unit(fake), signed_to_unit(real))
+        results.append({"step": s, **acc.compute()})
+    np.savez(os.path.join(cfg.run.out_dir, "metrics.npz"),
+             results=np.array([list(r.values()) for r in results]))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Glow image / EEG (nf_code.py:560-625, flow_eeg.py:343-422)
+# ---------------------------------------------------------------------------
+
+def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
+             resume: bool = False) -> Dict:
+    from vgd_tpu.train.glow import GlowTrainer
+
+    key = _setup(cfg.run)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = GlowTrainer(cfg, img_shape)
+    state = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
+                        keep=cfg.run.keep_checkpoints)
+    log = MetricLog(cfg.run.out_dir, "glow_loss")
+    prof = _Profiler(cfg.run)
+    z_sample = trainer.sample_z(jax.random.fold_in(key, 7), cfg.n_samples)
+    n_iter = cfg.n_iter if n_iter is None else n_iter
+    sample_dir = os.path.join(cfg.run.out_dir, "sample")
+    os.makedirs(sample_dir, exist_ok=True)
+
+    batches = iter(train)
+    start = 0
+    if resume and ckpt.latest_step() is not None:
+        state, rkey, start = ckpt.restore(state)
+        key = rkey if rkey is not None else key
+    if start == 0:
+        # data-dependent ActNorm init on the first batch (nf_code.py:589-594)
+        state = trainer.init_step(state, jnp.asarray(next(batches)), key)
+    t0 = time.perf_counter()
+    for i in range(start, n_iter):
+        prof.step(i)
+        state, m = trainer.train_step(state, jnp.asarray(next(batches)),
+                                      jax.random.fold_in(key, i))
+        if (i + 1) % cfg.run.sample_every_iters == 0:
+            imgs = trainer.reverse(state, z_sample)
+            save_grid(np.asarray(imgs) * 2.0, os.path.join(
+                sample_dir, f"{i + 1:06d}.png"), nrow=4)
+            ips = cfg.run.sample_every_iters * cfg.data.batch_size / \
+                max(time.perf_counter() - t0, 1e-9)
+            t0 = time.perf_counter()
+            log.append(iter=i + 1, loss=float(m["loss"]),
+                       log_p=float(m["log_p"]), logdet=float(m["logdet"]),
+                       images_per_sec=ips)
+            print(f"[glow] iter {i + 1}/{n_iter} "
+                  f"loss={float(m['loss']):.4f} {ips:.0f} img/s")
+        if (i + 1) % cfg.run.checkpoint_every_iters == 0:
+            ckpt.save(i + 1, state, key)
+    _epoch_metrics_header(log, cfg.run.out_dir, "glow_")
+    prof.close()
+    ckpt.close()
+    return {"state": state, "log": log.history, "trainer": trainer,
+            "val": val}
+
+
+def evaluate_glow(cfg: GlowConfig, state, trainer, val,
+                  feature_fn=None) -> Dict:
+    """Generate at temperature and score SSIM/IS/FID vs val
+    (eval_glow, nf_code.py:647-701; images mapped [-0.5,0.5] -> [0,1])."""
+    key = seed_all(cfg.run.seed)
+    acc = MetricAccumulator(feature_fn=feature_fn)
+    for j, (vbatch, n_valid) in enumerate(val.epoch()):
+        z = trainer.sample_z(jax.random.fold_in(key, j), len(vbatch))
+        fake = trainer.reverse(state, z)
+        fake_unit = jnp.clip(fake + 0.5, 0.0, 1.0)   # nf_code.py:685
+        real_unit = jnp.asarray(vbatch, jnp.float32) / 255.0
+        acc.update(fake_unit, real_unit)
+    return acc.compute()
+
+
+def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
+                 resume: bool = False) -> Dict:
+    from vgd_tpu.train.glow import GlowEEGTrainer
+
+    key = _setup(cfg.run)
+    ds = EEGDataset(path=cfg.eeg_path, dataset_type="T",
+                    event_type=cfg.event_type, seed=cfg.run.seed)
+    batches = eeg_batches(ds, cfg.batch_size, seed=cfg.run.seed)
+    trainer = GlowEEGTrainer(cfg)
+    state = trainer.init(key, cfg.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir,
+                                     f"ckpt_{cfg.event_type}"),
+                        keep=cfg.run.keep_checkpoints)
+    log = MetricLog(cfg.run.out_dir, f"eeg_{cfg.event_type}")
+    z_sample = trainer.sample_z(jax.random.fold_in(key, 7), cfg.n_samples)
+    n_iter = cfg.n_iter if n_iter is None else n_iter
+    sample_dir = os.path.join(cfg.run.out_dir, "sample")
+    os.makedirs(sample_dir, exist_ok=True)
+
+    start = 0
+    if resume and ckpt.latest_step() is not None:
+        state, rkey, start = ckpt.restore(state)
+        key = rkey if rkey is not None else key
+    if start == 0:
+        state = trainer.init_step(state, jnp.asarray(next(batches)), key)
+    for i in range(start, n_iter):
+        state, m = trainer.train_step(state, jnp.asarray(next(batches)),
+                                      jax.random.fold_in(key, i))
+        if (i + 1) % cfg.run.sample_every_iters == 0:
+            fakes = trainer.reverse(state, z_sample)
+            # (B, T, 1, C) -> (B, C, T) like the reference's npz dumps
+            arr = np.asarray(fakes)[:, :, 0, :].transpose(0, 2, 1)
+            np.savez(os.path.join(
+                sample_dir,
+                f"fake_eeg_{cfg.event_type}_training_{i + 1}.npz"), arr)
+            log.append(iter=i + 1, loss=float(m["loss"]))
+            print(f"[glow-eeg:{cfg.event_type}] iter {i + 1}/{n_iter} "
+                  f"loss={float(m['loss']):.4f}")
+        if (i + 1) % cfg.run.checkpoint_every_iters == 0:
+            ckpt.save(i + 1, state, key)
+    _epoch_metrics_header(log, cfg.run.out_dir, f"eeg_{cfg.event_type}_")
+    ckpt.close()
+    return {"state": state, "log": log.history, "trainer": trainer}
+
+
+# ---------------------------------------------------------------------------
+# Diffusion (train_diffusion.py:68-151)
+# ---------------------------------------------------------------------------
+
+def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
+                  max_steps_per_epoch: Optional[int] = None,
+                  resume: bool = False) -> Dict:
+    from vgd_tpu.train.diffusion import DiffusionTrainer
+
+    key = _setup(cfg.run)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = DiffusionTrainer(cfg, img_shape)
+    state = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
+                        keep=cfg.run.keep_checkpoints)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state, rkey, start_epoch = ckpt.restore(state)
+        key = rkey if rkey is not None else key
+    log = MetricLog(cfg.run.out_dir, "diffusion_loss")
+    prof = _Profiler(cfg.run)
+    epochs = cfg.epochs if epochs is None else epochs
+
+    gstep = 0
+    for epoch in range(start_epoch, epochs):
+        total, count = 0.0, 0
+        t0 = time.perf_counter()
+        for i, (batch, _) in enumerate(train.epoch()):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            prof.step(gstep)
+            state, m = trainer.train_step(state, jnp.asarray(batch),
+                                          jax.random.fold_in(key, gstep))
+            gstep += 1
+            count += 1
+            total += float(m["loss"]) * len(batch)
+        ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
+                                                1e-9)
+        val_total, n_val = 0.0, 0
+        for j, (vbatch, n_valid) in enumerate(val.epoch()):
+            vl = trainer.eval_loss(state, jnp.asarray(vbatch),
+                                   jax.random.fold_in(key, 30_000 + j))
+            val_total += float(vl) * n_valid
+            n_val += n_valid
+        log.append(epoch=epoch,
+                   train_loss=total / max(count * cfg.data.batch_size, 1),
+                   val_loss=val_total / max(n_val, 1), images_per_sec=ips)
+        print(f"[diffusion] epoch {epoch + 1}/{epochs} "
+              f"train={total / max(count * cfg.data.batch_size, 1):.4f} "
+              f"val={val_total / max(n_val, 1):.4f} {ips:.0f} img/s")
+        if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
+            ckpt.save(epoch + 1, state, key)
+        _epoch_metrics_header(log, cfg.run.out_dir, "diffusion_")
+    prof.close()
+    ckpt.close()
+    return {"state": state, "log": log.history, "trainer": trainer,
+            "val": val}
