@@ -1,23 +1,22 @@
-"""Glow tests: forward∘reverse identity, logdet correctness against
-autodiff-free finite math, ActNorm data-dependent init, EEG variant shapes
-(SURVEY.md §4: 'Glow forward∘reverse == identity and logdet correctness')."""
+"""Glow tests: forward∘reverse identity, logdet correctness, ActNorm
+data-dependent init, EEG variant shapes (SURVEY.md §4: 'Glow forward∘reverse
+== identity and logdet correctness')."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vgd_tpu.core.config import GlowConfig, GlowEEGConfig, DataConfig
-from vgd_tpu.models.glow import (GlowModel, calc_loss, calc_z_shapes,
-                                 calc_z_shapes_eeg, gaussian_log_p,
-                                 squeeze2d, squeeze_time, unsqueeze2d,
-                                 unsqueeze_time)
+from vgd_tpu.core.config import DataConfig, GlowConfig, GlowEEGConfig
+from vgd_tpu.models.glow import (Glow, calc_loss, calc_z_shapes,
+                                 calc_z_shapes_eeg, squeeze2d, squeeze_time,
+                                 unsqueeze2d, unsqueeze_time)
 from vgd_tpu.train.glow import GlowEEGTrainer, GlowTrainer
 
 KEY = jax.random.key(0)
 
 
 def tiny_model():
-    return GlowModel(in_channels=3, n_flows=2, n_blocks=2, variant="image",
-                     filter_size=32)
+    return Glow(in_channels=3, n_flows=2, n_blocks=2, variant="image",
+                filter_size=32)
 
 
 def test_squeeze_roundtrip_and_channel_order():
@@ -42,52 +41,74 @@ def test_forward_reverse_identity():
     """reverse(z_outs, reconstruct=True) must reproduce the input exactly
     (invertibility is the defining property of the flow)."""
     model = tiny_model()
+    params = model.init(KEY)
     x = jax.random.normal(KEY, (2, 16, 16, 3))
-    variables = model.init(KEY, x)
-    log_p, logdet, z_outs = model.apply(variables, x)
-    x_rec = model.apply(variables, z_outs, True,
-                        method=GlowModel.reverse)
+    log_p, logdet, z_outs = model.forward(params, x)
+    x_rec = model.reverse(params, z_outs, reconstruct=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_forward_reverse_identity_eeg():
+    model = Glow(in_channels=6, n_flows=2, n_blocks=3, variant="eeg",
+                 filter_size=16)
+    params = model.init(KEY)
+    x = jax.random.normal(KEY, (2, 32, 1, 6))
+    _, _, z_outs = model.forward(params, x)
+    x_rec = model.reverse(params, z_outs, reconstruct=True)
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
                                rtol=1e-4, atol=1e-4)
 
 
 def test_actnorm_init_normalizes_first_batch():
     model = tiny_model()
+    params = model.init(KEY)
     x = 5.0 + 2.0 * jax.random.normal(KEY, (4, 16, 16, 3))
-    variables = model.init(KEY, x)
-    _, mut = model.apply(variables, x, True, mutable=["actnorm_init"])
-    init_tree = mut["actnorm_init"]
-    # first flow's actnorm of block0 sees the squeezed input; its init must
-    # whiten it: s = 1/(std+1e-6), b = -mean  (nf_code.py:49-71)
+    new_params = model.init_actnorm(params, x)
+    # first flow of block0 sees the squeezed input; its init must whiten it:
+    # s = 1/(std+1e-6), b = -mean  (nf_code.py:49-71)
     sq = squeeze2d(x)
-    b0 = init_tree["block0"]["flow0"]["actnorm"]
-    np.testing.assert_allclose(np.asarray(b0["b"]),
+    an = new_params["block0"]["flows"]["actnorm"]
+    np.testing.assert_allclose(np.asarray(an["b"][0]),
                                -np.asarray(jnp.mean(sq, axis=(0, 1, 2))),
                                rtol=1e-5)
     np.testing.assert_allclose(
-        np.asarray(b0["s"]),
+        np.asarray(an["s"][0]),
         1.0 / (np.asarray(jnp.std(sq, axis=(0, 1, 2), ddof=1)) + 1e-6),
         rtol=1e-5)
+    # post-init forward must start from whitened activations: the first
+    # actnorm output has ~zero mean / unit std per channel
+    b0, s0 = np.asarray(an["b"][0]), np.asarray(an["s"][0])
+    normed = s0 * (np.asarray(sq) + b0)
+    np.testing.assert_allclose(normed.mean(axis=(0, 1, 2)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(normed.std(axis=(0, 1, 2)), 1.0, atol=1e-2)
 
 
 def test_logdet_value_additive_coupling_zero():
     """With additive coupling, total logdet = sum over flows of
-    H*W*(sum log|s_actnorm| + sum log|s_invconv|) — check against a manual
-    recomputation from the params."""
+    H*W*(sum log|s_actnorm| + sum log|s_invconv|)."""
     model = tiny_model()
+    params = model.init(KEY)
     x = jax.random.normal(KEY, (2, 16, 16, 3))
-    variables = model.init(KEY, x)
-    _, logdet, _ = model.apply(variables, x)
+    _, logdet, _ = model.forward(params, x)
     expected = 0.0
-    p = variables["params"]
     dims = {"block0": 8 * 8, "block1": 4 * 4}
     for bname, hw in dims.items():
-        for fname in ("flow0", "flow1"):
-            fp = p[bname][fname]
-            expected += hw * np.sum(np.log(np.abs(np.asarray(
-                fp["actnorm"]["s"]))))
-            expected += hw * np.sum(np.asarray(fp["invconv"]["plu"]["log_s"]))
+        fp = params[bname]["flows"]
+        expected += hw * np.sum(np.log(np.abs(np.asarray(
+            fp["actnorm"]["s"]))))
+        expected += hw * np.sum(np.asarray(fp["invconv"]["log_s"]))
     np.testing.assert_allclose(float(logdet), expected, atol=1e-3)
+
+
+def test_plu_weight_is_orthogonal_at_init():
+    """The PLU pieces reassemble the original QR rotation (orthogonal)."""
+    model = tiny_model()
+    params = model.init(KEY)
+    plu = jax.tree_util.tree_map(lambda a: np.asarray(a[0]),
+                                 params["block0"]["flows"]["invconv"])
+    w = np.asarray(Glow._plu_weight(plu))
+    np.testing.assert_allclose(w @ w.T, np.eye(w.shape[0]), atol=1e-4)
 
 
 def test_z_shapes():
@@ -114,7 +135,7 @@ def test_glow_trainer_init_and_step():
                                      normalize=False),
                      n_flows=2, n_blocks=2, filter_size=32)
     tr = GlowTrainer(cfg, (16, 16, 3))
-    state = tr.init(KEY, 4)
+    state = tr.init(KEY)
     batch = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (4, 16, 16, 3), dtype=np.uint8))
     state = tr.init_step(state, batch, KEY)
@@ -132,7 +153,7 @@ def test_glow_eeg_trainer_step_and_sample():
     cfg = GlowEEGConfig(num_channels=6, num_samples=32, n_flows=2,
                         n_blocks=3, filter_size=16, batch_size=4)
     tr = GlowEEGTrainer(cfg)
-    state = tr.init(KEY, 4)
+    state = tr.init(KEY)
     batch = jnp.asarray(np.random.default_rng(0).normal(
         0, 1, (4, 32, 1, 6)).astype(np.float32))
     state = tr.init_step(state, batch, KEY)

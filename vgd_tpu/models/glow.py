@@ -1,49 +1,48 @@
-"""Glow normalizing flow (2-D images and 1-D EEG variants).
+"""Glow normalizing flow (2-D images and 1-D EEG variants) — functional,
+scan-compiled.
 
 Capability parity with nf_code.py:20-538 and flow_eeg.py:74-336, re-designed
-as ONE generic NHWC flax implementation — the reference maintains two
-near-duplicate module stacks; here a ``variant`` knob selects:
+TPU-first. The reference (and a naive port) unrolls K*L = 128 flow modules
+into the graph; on TPU that explodes trace/compile time and bloats the
+executable. Here the K flows of a block are HOMOGENEOUS, so their parameters
+are stacked along a leading axis and the block body is ONE ``lax.scan`` over
+them — a 32x smaller graph with identical math. The reverse pass is the same
+scan with ``reverse=True``. Parameters are a plain pytree (no module
+framework), which also makes the data-dependent ActNorm initialisation a
+straightforward scan that emits the per-flow statistics.
 
+Variants (one implementation, a config switch):
 * ``variant='image'`` (nf_code.py): 2x2 space-to-depth squeeze (x4 channels),
   3x3/1x1 coupling convs, channel count doubling per block.
 * ``variant='eeg'`` (flow_eeg.py): squeeze factor 2 along time only
-  (flow_eeg.py:229-233), (3,1)/(1,1) coupling convs padded only on the time
-  axis (flow_eeg.py:89-96), constant per-block channel count
-  (flow_eeg.py:309-313).
+  (flow_eeg.py:229-233), (3,1)/(1,1) convs padded only on the time axis
+  (flow_eeg.py:89-96), constant per-block channels (flow_eeg.py:309-313).
 
-Per-layer semantics (with reference cites):
-* ActNorm  (nf_code.py:28-91): y = s*(x+b), logdet = H*W*sum(log|s|);
-  data-dependent init from the first batch (mean/unbiased-std per channel,
-  nf_code.py:49-71) — realised functionally via an 'actnorm_init' mutable
-  collection instead of in-place mutation.
-* Invertible 1x1 conv (nf_code.py:122-187): PLU parameterisation — fixed
-  permutation P and sign(s) (buffers, stop-gradient), trainable L, U and
-  log|s|; logdet = H*W*sum(log|s|); reverse uses the explicit matrix inverse.
-  PLU math stays float32 (SURVEY.md §7 numerics risk).
-* Additive coupling (nf_code.py:190-242): NN = Conv3x3(512, N(0,0.05)) ->
-  ReLU -> Conv1x1(512, N(0,0.05)) -> ReLU -> ZeroConv; out_b = x_b + NN(x_a);
-  logdet = 0.
-* ZeroConv (nf_code.py:94-119): 3x3 VALID conv on input padded with VALUE 1,
-  zero-initialised weight+bias, output scaled by exp(3*scale).
-* FlowBlock (nf_code.py:369-456): squeeze -> K flows -> split with a learned
-  ZeroConv prior producing (mean, log_sd); final block priors on zeros.
-* GlowModel (nf_code.py:459-505): L blocks; forward returns
-  (log_p_sum, logdet, z_outs); reverse consumes a z list.
+Per-layer semantics (reference cites):
+* ActNorm (nf_code.py:28-91): y = s*(x+b); logdet = H*W*sum(log|s|);
+  init b=-mean, s=1/(std_unbiased+1e-6) from the first batch.
+* Invertible 1x1 conv (nf_code.py:122-187): PLU parameterisation; P and
+  sign(s) are buffers (stop-gradient); logdet = H*W*sum(log|s|); reverse via
+  explicit inverse. float32 throughout (SURVEY.md §7 numerics risk).
+* Additive coupling (nf_code.py:190-242): NN = Conv3x3(512, N(0,0.05), b=0)
+  -> ReLU -> Conv1x1(512, N(0,0.05), b=0) -> ReLU -> ZeroConv; logdet = 0.
+* ZeroConv (nf_code.py:94-119): VALID conv on value-1-padded input,
+  zero-init weight+bias, output scaled by exp(3*scale).
+* FlowBlock (nf_code.py:369-456): squeeze -> K flows -> split with a
+  ZeroConv prior -> gaussian log-prob of the split-off z; final block priors
+  on zeros. GlowModel (nf_code.py:459-505): L blocks, z list in/out.
 
 The reference's dead ``my*`` rewrites (nf_code.py:248-329) and stray
-``breakpoint()`` debug artifacts (nf_code.py:447,587,684) are intentionally
-not reproduced (SURVEY.md §7).
+``breakpoint()`` artifacts (nf_code.py:447,587,684) are not reproduced.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-from flax import linen as nn
-
-from vgd_tpu.ops.initializers import normal_init
 
 F32 = jnp.float32
 
@@ -62,177 +61,15 @@ def gaussian_sample(eps, mean, log_sd):
 
 
 # ---------------------------------------------------------------------------
-# Layers
-# ---------------------------------------------------------------------------
-
-class ActNorm(nn.Module):
-    """Per-channel affine with data-dependent init (nf_code.py:28-91)."""
-    channels: int
-
-    def setup(self):
-        self.b = self.param("b", nn.initializers.zeros, (self.channels,), F32)
-        self.s = self.param("s", nn.initializers.ones, (self.channels,), F32)
-
-    def __call__(self, x, init: bool = False):
-        if init:
-            # First-batch statistics: mean / unbiased std over (B, H, W)
-            # per channel (torch .std(1) default ddof=1, nf_code.py:54-68).
-            mean = jnp.mean(x, axis=(0, 1, 2))
-            std = jnp.std(x, axis=(0, 1, 2), ddof=1)
-            b = -mean
-            s = 1.0 / (std + 1e-6)
-            overwrite = lambda prev, new: new  # noqa: E731
-            self.sow("actnorm_init", "b", b, reduce_fn=overwrite)
-            self.sow("actnorm_init", "s", s, reduce_fn=overwrite)
-        else:
-            b, s = self.b, self.s
-        y = s * (x + b)
-        h, w = x.shape[1], x.shape[2]
-        logdet = h * w * jnp.sum(jnp.log(jnp.abs(s)))
-        return y, logdet
-
-    def reverse(self, y):
-        return y / self.s - self.b
-
-
-def _plu_init(key, channels):
-    """Random rotation -> PLU pieces (nf_code.py:139-157)."""
-    w = jax.random.normal(key, (channels, channels), F32)
-    q, _ = jnp.linalg.qr(w)
-    p, l, u = jax.scipy.linalg.lu(q)
-    s = jnp.diag(u)
-    return {
-        "P": p,                       # buffer (stop-gradient in forward)
-        "L": l,
-        "U": jnp.triu(u, 1),
-        "log_s": jnp.log(jnp.abs(s)),
-        "s_sign": jnp.sign(s),        # buffer
-    }
-
-
-class InvConv1x1(nn.Module):
-    """PLU-parameterised invertible 1x1 convolution (nf_code.py:122-187)."""
-    channels: int
-
-    def setup(self):
-        self.plu = self.param("plu", _plu_init, self.channels)
-
-    def _weight(self):
-        c = self.channels
-        p = self.plu
-        eye = jnp.eye(c, dtype=F32)
-        l_mask = jnp.tril(jnp.ones((c, c), F32), -1)
-        u_mask = jnp.triu(jnp.ones((c, c), F32), 1)
-        P = jax.lax.stop_gradient(p["P"])
-        s_sign = jax.lax.stop_gradient(p["s_sign"])
-        # W = P (L~ + I) (U~ + diag(sign(s) e^{log|s|}))  (nf_code.py:161-167)
-        return (P @ (p["L"] * l_mask + eye)
-                @ (p["U"] * u_mask + jnp.diag(s_sign * jnp.exp(p["log_s"]))))
-
-    def __call__(self, x):
-        w = self._weight()
-        # 1x1 conv == channel matmul: out_o = sum_i W[o,i] x_i  (MXU-friendly)
-        y = jnp.einsum("bhwi,oi->bhwo", x.astype(F32), w)
-        logdet = x.shape[1] * x.shape[2] * jnp.sum(self.plu["log_s"])
-        return y, logdet
-
-    def reverse(self, y):
-        w_inv = jnp.linalg.inv(self._weight())
-        return jnp.einsum("bhwi,oi->bhwo", y.astype(F32), w_inv)
-
-
-class ZeroConv(nn.Module):
-    """Zero-initialised conv on value-1-padded input, scaled by exp(3*scale)
-    (nf_code.py:94-119; EEG kernel/padding variant flow_eeg.py:86-102)."""
-    features: int
-    kernel: Tuple[int, int] = (3, 3)
-    pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
-
-    @nn.compact
-    def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), self.pad[0], self.pad[1], (0, 0)),
-                    constant_values=1.0)
-        out = nn.Conv(self.features, self.kernel, padding="VALID",
-                      kernel_init=nn.initializers.zeros,
-                      bias_init=nn.initializers.zeros, dtype=F32,
-                      name="conv")(x)
-        scale = self.param("scale", nn.initializers.zeros,
-                           (self.features,), F32)
-        return out * jnp.exp(scale * 3.0)
-
-
-class AdditiveCoupling(nn.Module):
-    """Additive coupling with a 3-conv NN (nf_code.py:190-242)."""
-    channels: int                 # full channel count of the flow
-    filter_size: int = 512
-    kernel: Tuple[int, int] = (3, 3)
-    pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
-    compute_dtype: Any = F32
-
-    def setup(self):
-        self.conv1 = nn.Conv(self.filter_size, self.kernel, padding=self.pad,
-                             kernel_init=normal_init(0.05),
-                             bias_init=nn.initializers.zeros,
-                             dtype=self.compute_dtype)
-        self.conv2 = nn.Conv(self.filter_size, (1, 1),
-                             kernel_init=normal_init(0.05),
-                             bias_init=nn.initializers.zeros,
-                             dtype=self.compute_dtype)
-        self.zero = ZeroConv(self.channels // 2, self.kernel, self.pad)
-
-    def _nn(self, xa):
-        h = nn.relu(self.conv1(xa.astype(self.compute_dtype)))
-        h = nn.relu(self.conv2(h))
-        return self.zero(h.astype(F32))
-
-    def __call__(self, x, init: bool = False):
-        xa, xb = jnp.split(x, 2, axis=-1)
-        out_b = xb + self._nn(xa)
-        return jnp.concatenate([xa, out_b], axis=-1), 0.0
-
-    def reverse(self, y):
-        ya, yb = jnp.split(y, 2, axis=-1)
-        in_b = yb - self._nn(ya)
-        return jnp.concatenate([ya, in_b], axis=-1)
-
-
-class Flow(nn.Module):
-    """ActNorm -> InvConv -> AdditiveCoupling (nf_code.py:331-366)."""
-    channels: int
-    filter_size: int = 512
-    kernel: Tuple[int, int] = (3, 3)
-    pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1))
-    compute_dtype: Any = F32
-
-    def setup(self):
-        self.actnorm = ActNorm(self.channels)
-        self.invconv = InvConv1x1(self.channels)
-        self.coupling = AdditiveCoupling(self.channels, self.filter_size,
-                                         self.kernel, self.pad,
-                                         self.compute_dtype)
-
-    def __call__(self, x, init: bool = False):
-        y, logdet = self.actnorm(x, init=init)
-        y, det1 = self.invconv(y)
-        y, det2 = self.coupling(y, init=init)
-        return y, logdet + det1 + det2
-
-    def reverse(self, y):
-        y = self.coupling.reverse(y)
-        y = self.invconv.reverse(y)
-        return self.actnorm.reverse(y)
-
-
-# ---------------------------------------------------------------------------
-# Squeeze (space-to-depth) — channel ordering matches the torch reshape
-# (nf_code.py:401-405 / flow_eeg.py:229-233) so checkpoints are importable.
+# Squeeze (channel ordering matches the torch reshape for checkpoint import:
+# nf_code.py:401-405 / flow_eeg.py:229-233)
 # ---------------------------------------------------------------------------
 
 def squeeze2d(x):
     """(B, H, W, C) -> (B, H/2, W/2, 4C), channel = c*4 + a*2 + s."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4)          # b, h2, w2, c, a, s
+    x = x.transpose(0, 1, 3, 5, 2, 4)
     return x.reshape(b, h // 2, w // 2, c * 4)
 
 
@@ -240,16 +77,15 @@ def unsqueeze2d(x):
     b, h, w, c4 = x.shape
     c = c4 // 4
     x = x.reshape(b, h, w, c, 2, 2)
-    x = x.transpose(0, 1, 4, 2, 5, 3)          # b, h, a, w, s, c
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * 2, w * 2, c)
 
 
 def squeeze_time(x):
-    """EEG: (B, T, 1, C) -> (B, T/2, 1, 2C), channel = c*2 + a
-    (flow_eeg.py:229-233)."""
+    """EEG: (B, T, 1, C) -> (B, T/2, 1, 2C), channel = c*2 + a."""
     b, t, w, c = x.shape
     x = x.reshape(b, t // 2, 2, w, c)
-    x = x.transpose(0, 1, 3, 4, 2)             # b, t2, w, c, a
+    x = x.transpose(0, 1, 3, 4, 2)
     return x.reshape(b, t // 2, w, c * 2)
 
 
@@ -257,125 +93,268 @@ def unsqueeze_time(x):
     b, t, w, c2 = x.shape
     c = c2 // 2
     x = x.reshape(b, t, w, c, 2)
-    x = x.transpose(0, 1, 4, 2, 3)             # b, t, a, w, c
+    x = x.transpose(0, 1, 4, 2, 3)
     return x.reshape(b, t * 2, w, c)
 
 
 # ---------------------------------------------------------------------------
-# Blocks + model
+# Parameter initialisation (plain pytrees)
 # ---------------------------------------------------------------------------
 
-class FlowBlock(nn.Module):
-    """Squeeze -> K flows -> (optional) split with a ZeroConv prior
-    (nf_code.py:369-456 / flow_eeg.py:193-288)."""
-    in_channels: int              # channels BEFORE the squeeze
-    n_flows: int
-    split: bool = True
-    variant: str = "image"        # 'image' | 'eeg'
+def _conv_init(key, kh, kw, cin, cout, std=0.05):
+    return {"w": jax.random.normal(key, (kh, kw, cin, cout), F32) * std,
+            "b": jnp.zeros((cout,), F32)}
+
+
+def _zeroconv_init(kh, kw, cin, cout):
+    return {"w": jnp.zeros((kh, kw, cin, cout), F32),
+            "b": jnp.zeros((cout,), F32),
+            "scale": jnp.zeros((cout,), F32)}
+
+
+def _plu_init(key, c):
+    """Random rotation -> PLU pieces (nf_code.py:139-157)."""
+    w = jax.random.normal(key, (c, c), F32)
+    q, _ = jnp.linalg.qr(w)
+    p, l, u = jax.scipy.linalg.lu(q)
+    s = jnp.diag(u)
+    return {"P": p, "L": l, "U": jnp.triu(u, 1),
+            "log_s": jnp.log(jnp.abs(s)), "s_sign": jnp.sign(s)}
+
+
+def _flow_init(key, channels, filter_size, kh, kw):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "actnorm": {"b": jnp.zeros((channels,), F32),
+                    "s": jnp.ones((channels,), F32)},
+        "invconv": _plu_init(k1, channels),
+        "coupling": {
+            "conv1": _conv_init(k2, kh, kw, channels // 2, filter_size),
+            "conv2": _conv_init(k3, 1, 1, filter_size, filter_size),
+            "zero": _zeroconv_init(kh, kw, filter_size, channels // 2),
+        },
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class GlowConfigBase:
+    in_channels: int = 3
+    n_flows: int = 32
+    n_blocks: int = 4
+    variant: str = "image"           # 'image' | 'eeg'
     filter_size: int = 512
-    compute_dtype: Any = F32
+    compute_dtype: Any = F32         # coupling conv compute dtype
 
-    def setup(self):
-        img = self.variant == "image"
-        factor = 4 if img else 2
-        kernel = (3, 3) if img else (3, 1)
-        pad = ((1, 1), (1, 1)) if img else ((1, 1), (0, 0))
-        sq = self.in_channels * factor
-        self.flows = [Flow(sq, self.filter_size, kernel, pad,
-                           self.compute_dtype, name=f"flow{i}")
-                      for i in range(self.n_flows)]
-        if self.split:
-            self.prior = ZeroConv(sq, kernel, pad, name="prior")
+    @property
+    def squeeze_factor(self):
+        return 4 if self.variant == "image" else 2
+
+    @property
+    def kernel(self):
+        return (3, 3) if self.variant == "image" else (3, 1)
+
+    @property
+    def pad(self):
+        return (((1, 1), (1, 1)) if self.variant == "image"
+                else ((1, 1), (0, 0)))
+
+    def block_in_channels(self) -> List[int]:
+        chs, ch = [], self.in_channels
+        for i in range(self.n_blocks):
+            chs.append(ch)
+            if self.variant == "image" and i < self.n_blocks - 1:
+                ch *= 2              # nf_code.py:478-480; EEG constant
+        return chs
+
+
+class Glow:
+    """Functional Glow. ``params`` layout:
+    {"block{i}": {"flows": <stacked over K>, "prior": zeroconv}}."""
+
+    def __init__(self, in_channels=3, n_flows=32, n_blocks=4,
+                 variant="image", filter_size=512, compute_dtype=F32):
+        self.cfg = GlowConfigBase(in_channels, n_flows, n_blocks, variant,
+                                  filter_size, compute_dtype)
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key: jax.Array) -> Dict:
+        cfg = self.cfg
+        kh, kw = cfg.kernel
+        params = {}
+        for i, ch in enumerate(cfg.block_in_channels()):
+            sq = ch * cfg.squeeze_factor
+            key, k_flows, k_prior = jax.random.split(key, 3)
+            flow_keys = jax.random.split(k_flows, cfg.n_flows)
+            flows = jax.vmap(
+                lambda k: _flow_init(k, sq, cfg.filter_size, kh, kw)
+            )(flow_keys)
+            split = i < cfg.n_blocks - 1
+            prior = (_zeroconv_init(kh, kw, sq // 2, sq) if split
+                     else _zeroconv_init(kh, kw, sq, sq * 2))
+            params[f"block{i}"] = {"flows": flows, "prior": prior}
+        return params
+
+    # -- primitive layers ---------------------------------------------------
+    def _conv(self, p, x, pad=None, dtype=None):
+        dtype = dtype or F32
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), p["w"].astype(dtype), (1, 1),
+            padding=pad if pad is not None else "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + p["b"].astype(dtype)
+
+    def _zeroconv(self, p, x):
+        """Value-1 padding + VALID conv + exp(3*scale) (nf_code.py:94-119)."""
+        ph, pw = self.cfg.pad
+        x = jnp.pad(x, ((0, 0), ph, pw, (0, 0)), constant_values=1.0)
+        y = self._conv(p, x)
+        return y * jnp.exp(p["scale"] * 3.0)
+
+    def _coupling_nn(self, p, xa):
+        cd = self.cfg.compute_dtype
+        h = jax.nn.relu(self._conv(p["conv1"], xa, self.cfg.pad, cd))
+        h = jax.nn.relu(self._conv(p["conv2"], h, "VALID", cd))
+        return self._zeroconv(p["zero"], h.astype(F32))
+
+    @staticmethod
+    def _plu_weight(p):
+        c = p["L"].shape[0]
+        eye = jnp.eye(c, dtype=F32)
+        l_mask = jnp.tril(jnp.ones((c, c), F32), -1)
+        u_mask = jnp.triu(jnp.ones((c, c), F32), 1)
+        P = jax.lax.stop_gradient(p["P"])
+        s_sign = jax.lax.stop_gradient(p["s_sign"])
+        return (P @ (p["L"] * l_mask + eye)
+                @ (p["U"] * u_mask + jnp.diag(s_sign * jnp.exp(p["log_s"]))))
+
+    # -- single flow --------------------------------------------------------
+    def _flow_fwd(self, p, x, hw: int, init: bool):
+        """ActNorm -> InvConv -> AdditiveCoupling (nf_code.py:331-360).
+        Returns (y, logdet, actnorm_stats_or_None)."""
+        if init:
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            std = jnp.std(x, axis=(0, 1, 2), ddof=1)
+            b, s = -mean, 1.0 / (std + 1e-6)
+            stats = {"b": b, "s": s}
         else:
-            self.prior = ZeroConv(sq * 2, kernel, pad, name="prior")
-        self._squeeze = squeeze2d if img else squeeze_time
-        self._unsqueeze = unsqueeze2d if img else unsqueeze_time
+            b, s = p["actnorm"]["b"], p["actnorm"]["s"]
+            stats = {"b": b, "s": s}
+        y = s * (x + b)
+        logdet = hw * jnp.sum(jnp.log(jnp.abs(s)))
 
-    def __call__(self, x, init: bool = False):
-        b = x.shape[0]
+        w = self._plu_weight(p["invconv"])
+        y = jnp.einsum("bhwi,oi->bhwo", y, w)
+        logdet = logdet + hw * jnp.sum(p["invconv"]["log_s"])
+
+        ya, yb = jnp.split(y, 2, axis=-1)
+        out_b = yb + self._coupling_nn(p["coupling"], ya)
+        return jnp.concatenate([ya, out_b], axis=-1), logdet, stats
+
+    def _flow_rev(self, p, y):
+        ya, yb = jnp.split(y, 2, axis=-1)
+        in_b = yb - self._coupling_nn(p["coupling"], ya)
+        y = jnp.concatenate([ya, in_b], axis=-1)
+        w_inv = jnp.linalg.inv(self._plu_weight(p["invconv"]))
+        y = jnp.einsum("bhwi,oi->bhwo", y, w_inv)
+        return y / p["actnorm"]["s"] - p["actnorm"]["b"]
+
+    # -- block --------------------------------------------------------------
+    def _squeeze(self, x):
+        return squeeze2d(x) if self.cfg.variant == "image" \
+            else squeeze_time(x)
+
+    def _unsqueeze(self, x):
+        return unsqueeze2d(x) if self.cfg.variant == "image" \
+            else unsqueeze_time(x)
+
+    def _block_fwd(self, p, x, split: bool, init: bool):
+        bsz = x.shape[0]
         y = self._squeeze(x)
-        logdet = 0.0
-        for flow in self.flows:
-            y, ld = flow(y, init=init)
-            logdet = logdet + ld
-        if self.split:
+        hw = y.shape[1] * y.shape[2]
+
+        def body(carry, flow_p):
+            y, logdet = carry
+            y, ld, stats = self._flow_fwd(flow_p, y, hw, init)
+            return (y, logdet + ld), stats
+
+        (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), F32)),
+                                          p["flows"])
+        if split:
             y, z_new = jnp.split(y, 2, axis=-1)
-            mean, log_sd = jnp.split(self.prior(y), 2, axis=-1)
+            mean, log_sd = jnp.split(self._zeroconv(p["prior"], y), 2,
+                                     axis=-1)
             log_p = gaussian_log_p(z_new, mean, log_sd)
         else:
             zero = jnp.zeros_like(y)
-            mean, log_sd = jnp.split(self.prior(zero), 2, axis=-1)
+            mean, log_sd = jnp.split(self._zeroconv(p["prior"], zero), 2,
+                                     axis=-1)
             log_p = gaussian_log_p(y, mean, log_sd)
             z_new = y
-        log_p = jnp.sum(log_p.reshape(b, -1), axis=1)
-        return y, logdet, log_p, z_new
+        log_p = jnp.sum(log_p.reshape(bsz, -1), axis=1)
+        return y, logdet, log_p, z_new, stats
 
-    def reverse(self, y, eps, reconstruct: bool = False):
+    def _block_rev(self, p, y, eps, split: bool, reconstruct: bool):
         if reconstruct:
-            x = jnp.concatenate([y, eps], axis=-1) if self.split else eps
+            x = jnp.concatenate([y, eps], axis=-1) if split else eps
         else:
-            if self.split:
-                mean, log_sd = jnp.split(self.prior(y), 2, axis=-1)
+            if split:
+                mean, log_sd = jnp.split(self._zeroconv(p["prior"], y), 2,
+                                         axis=-1)
                 z = gaussian_sample(eps, mean, log_sd)
                 x = jnp.concatenate([y, z], axis=-1)
             else:
                 zero = jnp.zeros_like(y)
-                mean, log_sd = jnp.split(self.prior(zero), 2, axis=-1)
+                mean, log_sd = jnp.split(self._zeroconv(p["prior"], zero), 2,
+                                         axis=-1)
                 x = gaussian_sample(eps, mean, log_sd)
-        for flow in self.flows[::-1]:
-            x = flow.reverse(x)
+
+        def body(carry, flow_p):
+            return self._flow_rev(flow_p, carry), None
+
+        x, _ = jax.lax.scan(body, x, p["flows"], reverse=True)
         return self._unsqueeze(x)
 
-
-class GlowModel(nn.Module):
-    """L blocks of K flows (nf_code.py:459-505 / flow_eeg.py:291-336)."""
-    in_channels: int = 3
-    n_flows: int = 32
-    n_blocks: int = 4
-    variant: str = "image"
-    filter_size: int = 512
-    compute_dtype: Any = F32
-
-    def setup(self):
-        blocks = []
-        ch = self.in_channels
-        for i in range(self.n_blocks - 1):
-            blocks.append(FlowBlock(ch, self.n_flows, split=True,
-                                    variant=self.variant,
-                                    filter_size=self.filter_size,
-                                    compute_dtype=self.compute_dtype,
-                                    name=f"block{i}"))
-            if self.variant == "image":
-                ch *= 2            # nf_code.py:478-480
-            # EEG: constant channel count per block (flow_eeg.py:309-313)
-        blocks.append(FlowBlock(ch, self.n_flows, split=False,
-                                variant=self.variant,
-                                filter_size=self.filter_size,
-                                compute_dtype=self.compute_dtype,
-                                name=f"block{self.n_blocks - 1}"))
-        self.blocks = blocks
-
-    def __call__(self, x, init: bool = False):
-        log_p_sum = 0.0
-        logdet = 0.0
-        z_outs = []
-        for block in self.blocks:
-            x, ld, lp, z_new = block(x, init=init)
+    # -- model --------------------------------------------------------------
+    def forward(self, params: Dict, x: jax.Array, init: bool = False):
+        """Returns (log_p_sum, logdet, z_outs[, actnorm_stats if init])."""
+        log_p_sum = jnp.zeros((x.shape[0],), F32)
+        logdet = jnp.zeros((), F32)
+        z_outs, all_stats = [], {}
+        for i in range(self.cfg.n_blocks):
+            p = params[f"block{i}"]
+            x, ld, lp, z_new, stats = self._block_fwd(
+                p, x, split=(i < self.cfg.n_blocks - 1), init=init)
             z_outs.append(z_new)
             logdet = logdet + ld
             log_p_sum = log_p_sum + lp
+            all_stats[f"block{i}"] = stats
+        if init:
+            return log_p_sum, logdet, z_outs, all_stats
         return log_p_sum, logdet, z_outs
 
-    def reverse(self, z_list: Sequence[jax.Array],
-                reconstruct: bool = False):
+    def init_actnorm(self, params: Dict, x: jax.Array) -> Dict:
+        """Data-dependent ActNorm init (nf_code.py:589-594): one forward in
+        init mode, splice the emitted stacked stats into the params."""
+        _, _, _, stats = self.forward(params, x, init=True)
+        new = {}
+        for bname, bp in params.items():
+            flows = dict(bp["flows"])
+            flows["actnorm"] = stats[bname]
+            new[bname] = {"flows": flows, "prior": bp["prior"]}
+        return new
+
+    def reverse(self, params: Dict, z_list: Sequence[jax.Array],
+                reconstruct: bool = False) -> jax.Array:
         x = None
-        for i, block in enumerate(self.blocks[::-1]):
-            if i == 0:
-                x = block.reverse(z_list[-1], z_list[-1],
-                                  reconstruct=reconstruct)
+        n = self.cfg.n_blocks
+        for i in range(n - 1, -1, -1):
+            p = params[f"block{i}"]
+            split = i < n - 1
+            if i == n - 1:
+                x = self._block_rev(p, z_list[-1], z_list[-1], split,
+                                    reconstruct)
             else:
-                x = block.reverse(x, z_list[-(i + 1)],
-                                  reconstruct=reconstruct)
+                x = self._block_rev(p, x, z_list[i], split, reconstruct)
         return x
 
 
@@ -385,8 +364,7 @@ class GlowModel(nn.Module):
 
 def calc_z_shapes(n_channel: int, input_size: int, n_block: int
                   ) -> List[Tuple[int, int, int]]:
-    """Latent shapes (H, W, C) for image-variant sampling
-    (nf_code.py:510-522, converted to NHWC)."""
+    """Latent shapes (H, W, C), image variant (nf_code.py:510-522, NHWC)."""
     shapes = []
     size, ch = input_size, n_channel
     for _ in range(n_block - 1):
@@ -400,8 +378,7 @@ def calc_z_shapes(n_channel: int, input_size: int, n_block: int
 
 def calc_z_shapes_eeg(num_chans: int, num_samples: int, n_block: int
                       ) -> List[Tuple[int, int, int]]:
-    """Latent shapes (T, 1, C) for the EEG variant (flow_eeg.py:360-363:
-    [(22,80),(22,40),(22,20),(44,10)] in torch layout)."""
+    """Latent shapes (T, 1, C), EEG variant (flow_eeg.py:360-363)."""
     shapes = []
     t = num_samples
     for _ in range(n_block - 1):
@@ -415,8 +392,7 @@ def calc_z_shapes_eeg(num_chans: int, num_samples: int, n_block: int
 def calc_loss(log_p: jax.Array, logdet: jax.Array, image_size: int,
               n_bins: float, n_channels: int = 3):
     """Bits/dim objective (nf_code.py:528-538). The EEG trainer reuses this
-    formula with image_size=T and n_bins=1 (flow_eeg.py:392); that exact
-    normalisation is preserved for parity."""
+    formula with image_size=T and n_bins=1 (flow_eeg.py:392); preserved."""
     n_pixel = image_size * image_size * n_channels
     loss = -math.log(n_bins) * n_pixel + logdet + log_p
     scale = math.log(2) * n_pixel
