@@ -28,7 +28,27 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vgd_tpu.ops.pallas_kernels import (attention_xla, flash_attention,
+                                        groupnorm_silu, groupnorm_silu_xla)
+
 F32 = jnp.float32
+
+
+class GroupNormSiLU(nn.Module):
+    """GroupNorm(8) + SiLU with the same param tree as nn.GroupNorm
+    ({scale, bias}). ``fused=True`` routes through the Pallas kernel
+    (inference paths; the training step keeps the XLA form so autodiff
+    stays on the stock path)."""
+    groups: int = 8
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), F32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), F32)
+        fn = groupnorm_silu if self.fused else groupnorm_silu_xla
+        return fn(x.astype(F32), scale, bias, self.groups)
 
 
 def sinusoidal_embedding(timesteps: jax.Array, dim: int) -> jax.Array:
@@ -48,6 +68,7 @@ class ConvBlock(nn.Module):
     out_ch: int
     time_emb_dim: Optional[int] = 256
     dtype: Any = F32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb=None):
@@ -61,14 +82,11 @@ class ConvBlock(nn.Module):
         if t_emb is not None and self.time_emb_dim is not None:
             proj = nn.Dense(self.out_ch, dtype=F32, name="time_proj")(t_emb)
             h = h + proj[:, None, None, :].astype(h.dtype)
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=F32,
-                         name="gn1")(h)
-        h = nn.silu(h).astype(self.dtype)
+        h = GroupNormSiLU(fused=self.fused, name="gn1")(h)
+        h = h.astype(self.dtype)
         h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=F32,
-                         name="gn2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(fused=self.fused, name="gn2")(h)
         return (h + res.astype(F32)).astype(self.dtype)
 
 
@@ -77,6 +95,7 @@ class AttentionBlock(nn.Module):
     (diffusion_model.py:44-61)."""
     channels: int
     dtype: Any = F32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -86,11 +105,9 @@ class AttentionBlock(nn.Module):
         qkv = nn.Conv(c * 3, (1, 1), dtype=self.dtype, name="qkv")(
             h.astype(self.dtype))
         q, k, v = jnp.split(qkv.reshape(b, hh * ww, 3 * c), 3, axis=-1)
-        attn = jnp.einsum("bnc,bmc->bnm", q, k,
-                          preferred_element_type=F32) / math.sqrt(c)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v,
-                         preferred_element_type=F32)
+        attend = flash_attention if self.fused else attention_xla
+        out = attend(q.astype(F32), k.astype(F32), v.astype(F32),
+                     scale=1.0 / math.sqrt(c))
         out = out.reshape(b, hh, ww, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj")(
             out.astype(self.dtype))
@@ -103,6 +120,7 @@ class CrossAttentionToGlobalTokens(nn.Module):
     num_tokens: int = 64
     token_dim: int = 256
     dtype: Any = F32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -117,11 +135,9 @@ class CrossAttentionToGlobalTokens(nn.Module):
             jnp.broadcast_to(tokens, (b, self.num_tokens, self.token_dim))
             .astype(self.dtype))
         k, v = jnp.split(kv, 2, axis=-1)
-        attn = jnp.einsum("bnc,bmc->bnm", q, k,
-                          preferred_element_type=F32) \
-            / math.sqrt(self.token_dim)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        h = jnp.einsum("bnm,bmc->bnc", attn, v, preferred_element_type=F32)
+        attend = flash_attention if self.fused else attention_xla
+        h = attend(q.astype(F32), k.astype(F32), v.astype(F32),
+                   scale=1.0 / math.sqrt(self.token_dim))
         h = nn.Dense(c, dtype=self.dtype, name="proj")(h.astype(self.dtype))
         return h.astype(F32).reshape(b, hh, ww, c) + x.astype(F32)
 
@@ -147,6 +163,9 @@ class UNet(nn.Module):
     time_emb_dim: int = 256
     attention: bool = True
     dtype: Any = F32
+    # route attention + GroupNorm/SiLU through the Pallas kernels; used on
+    # inference paths (sampling), where no VJP is required
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, t):
@@ -158,33 +177,36 @@ class UNet(nn.Module):
         t_emb = nn.Dense(self.time_emb_dim, dtype=F32,
                          name="time_mlp2")(t_emb)
 
-        d1 = ConvBlock(c, self.time_emb_dim, self.dtype,
+        d1 = ConvBlock(c, self.time_emb_dim, self.dtype, self.fused,
                        name="down1")(x.astype(self.dtype), t_emb)
-        d2 = ConvBlock(c * 2, self.time_emb_dim, self.dtype,
+        d2 = ConvBlock(c * 2, self.time_emb_dim, self.dtype, self.fused,
                        name="down2")(max_pool2(d1), t_emb)
         if self.attention:
             d2 = CrossAttentionToGlobalTokens(c * 2, dtype=self.dtype,
+                                              fused=self.fused,
                                               name="cross_attn2")(d2)
-        d3 = ConvBlock(c * 4, self.time_emb_dim, self.dtype,
+        d3 = ConvBlock(c * 4, self.time_emb_dim, self.dtype, self.fused,
                        name="down3")(max_pool2(d2), t_emb)
         if self.attention:
             d3 = CrossAttentionToGlobalTokens(c * 4, dtype=self.dtype,
+                                              fused=self.fused,
                                               name="cross_attn3")(d3)
             # NOTE: the reference constructs a level-3 self-attention module
             # (diffusion_model.py:104) but never calls it in forward
             # (diffusion_model.py:124-131); behavioural parity keeps it out.
 
-        b = ConvBlock(c * 4, self.time_emb_dim, self.dtype,
+        b = ConvBlock(c * 4, self.time_emb_dim, self.dtype, self.fused,
                       name="bottleneck")(max_pool2(d3), t_emb)
         if self.attention:
-            b = AttentionBlock(c * 4, dtype=self.dtype,
+            b = AttentionBlock(c * 4, dtype=self.dtype, fused=self.fused,
                                name="attn_bottleneck")(b)
 
-        u3 = ConvBlock(c * 2, self.time_emb_dim, self.dtype, name="up3")(
+        u3 = ConvBlock(c * 2, self.time_emb_dim, self.dtype, self.fused,
+                       name="up3")(
             jnp.concatenate([upsample2_bilinear(b), d3], axis=-1), t_emb)
-        u2 = ConvBlock(c, self.time_emb_dim, self.dtype, name="up2")(
+        u2 = ConvBlock(c, self.time_emb_dim, self.dtype, self.fused, name="up2")(
             jnp.concatenate([upsample2_bilinear(u3), d2], axis=-1), t_emb)
-        u1 = ConvBlock(c, self.time_emb_dim, self.dtype, name="up1")(
+        u1 = ConvBlock(c, self.time_emb_dim, self.dtype, self.fused, name="up1")(
             jnp.concatenate([upsample2_bilinear(u2), d1], axis=-1), t_emb)
 
         return nn.Conv(self.out_ch, (1, 1), dtype=F32,

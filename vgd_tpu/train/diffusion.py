@@ -105,6 +105,13 @@ class DiffusionTrainer:
         self.model = UNet(out_ch=c, base_ch=cfg.base_ch,
                           time_emb_dim=cfg.time_emb_dim,
                           attention=cfg.attention, dtype=dtype)
+        # same params, Pallas-fused attention + GroupNorm/SiLU — used on the
+        # no-grad sampling paths (the reference's hottest inference loop,
+        # test_diffusion.py:90-96)
+        self.model_fused = UNet(out_ch=c, base_ch=cfg.base_ch,
+                                time_emb_dim=cfg.time_emb_dim,
+                                attention=cfg.attention, dtype=dtype,
+                                fused=True)
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.sched = make_schedule(cfg.timesteps, cfg.beta_start, cfg.beta_end)
@@ -175,7 +182,8 @@ class DiffusionTrainer:
             active = t_i <= t_start
             k, k_noise = jax.random.split(k)
             t_vec = jnp.full((b,), t_i, jnp.int32)
-            pred_noise = self.model.apply({"params": state.params}, x, t_vec)
+            pred_noise = self.model_fused.apply({"params": state.params},
+                                                x, t_vec)
             x_new = x - (1.0 - s.alphas[t_i]) / \
                 s.sqrt_one_minus_alphas_cumprod[t_i] * pred_noise
             x_new = x_new / jnp.sqrt(s.alphas[t_i])
@@ -192,7 +200,7 @@ class DiffusionTrainer:
                    t: jax.Array) -> jax.Array:
         """One-step x0 estimate (test_diffusion.py:135-136)."""
         s = self.sched
-        pred = self.model.apply({"params": state.params}, xt, t)
+        pred = self.model_fused.apply({"params": state.params}, xt, t)
         a = s.sqrt_alphas_cumprod[t][:, None, None, None]
         b = s.sqrt_one_minus_alphas_cumprod[t][:, None, None, None]
         return jnp.clip((xt - b * pred) / a, -1.0, 1.0)
