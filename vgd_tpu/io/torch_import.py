@@ -154,3 +154,124 @@ def import_inception(path: str, variables: Dict) -> Dict:
 
     stats = walk_stats(stats, "")
     return {"params": params, "batch_stats": stats}
+
+
+def import_unet(path: str, attention: bool = True) -> Dict:
+    """Reference DDPM UNet state_dict (diffusion_model.py:88-139 /
+    diffusion_model_no_attn.py:47-91) -> flax variables.
+
+    torch layout per ConvBlock: conv.0 / conv.1 (GroupNorm) / conv.3 /
+    conv.4 (GroupNorm), time_emb_proj, residual_conv (absent when
+    in_ch == out_ch). The unused level-3 self-attention module
+    (diffusion_model.py:104) is skipped.
+    """
+    sd = _load_state_dict(path)
+    params: Dict = {}
+
+    params["time_mlp1"] = {"kernel": linear_w(sd["time_mlp.0.weight"]),
+                           "bias": sd["time_mlp.0.bias"]}
+    params["time_mlp2"] = {"kernel": linear_w(sd["time_mlp.2.weight"]),
+                           "bias": sd["time_mlp.2.bias"]}
+
+    def convblock(name):
+        out = {
+            "conv1": {"kernel": conv_w(sd[f"{name}.conv.0.weight"]),
+                      "bias": sd[f"{name}.conv.0.bias"]},
+            "gn1": {"scale": sd[f"{name}.conv.1.weight"],
+                    "bias": sd[f"{name}.conv.1.bias"]},
+            "conv2": {"kernel": conv_w(sd[f"{name}.conv.3.weight"]),
+                      "bias": sd[f"{name}.conv.3.bias"]},
+            "gn2": {"scale": sd[f"{name}.conv.4.weight"],
+                    "bias": sd[f"{name}.conv.4.bias"]},
+            "time_proj": {"kernel": linear_w(sd[f"{name}.time_emb_proj.weight"]),
+                          "bias": sd[f"{name}.time_emb_proj.bias"]},
+        }
+        if f"{name}.residual_conv.weight" in sd:
+            out["residual_conv"] = {
+                "kernel": conv_w(sd[f"{name}.residual_conv.weight"]),
+                "bias": sd[f"{name}.residual_conv.bias"]}
+        return out
+
+    for blk in ("down1", "down2", "down3", "bottleneck", "up3", "up2", "up1"):
+        params[blk] = convblock(blk)
+
+    if attention:
+        for name in ("cross_attn2", "cross_attn3"):
+            params[name] = {
+                "to_q": {"kernel": linear_w(sd[f"{name}.to_q.weight"]),
+                         "bias": sd[f"{name}.to_q.bias"]},
+                "to_kv": {"kernel": linear_w(sd[f"{name}.to_kv.weight"]),
+                          "bias": sd[f"{name}.to_kv.bias"]},
+                "proj": {"kernel": linear_w(sd[f"{name}.proj.weight"]),
+                         "bias": sd[f"{name}.proj.bias"]},
+                "norm": {"scale": sd[f"{name}.norm.weight"],
+                         "bias": sd[f"{name}.norm.bias"]},
+                "global_tokens": sd[f"{name}.global_tokens"],
+            }
+        params["attn_bottleneck"] = {
+            "norm": {"scale": sd["attn_bottleneck.norm.weight"],
+                     "bias": sd["attn_bottleneck.norm.bias"]},
+            "qkv": {"kernel": conv_w(sd["attn_bottleneck.qkv.weight"]),
+                    "bias": sd["attn_bottleneck.qkv.bias"]},
+            "proj": {"kernel": conv_w(sd["attn_bottleneck.proj.weight"]),
+                     "bias": sd["attn_bottleneck.proj.bias"]},
+        }
+
+    params["out_conv"] = {"kernel": conv_w(sd["out_conv.weight"]),
+                          "bias": sd["out_conv.bias"]}
+    return {"params": params}
+
+
+def import_glow(path: str, n_blocks: int, n_flows: int) -> Dict:
+    """Reference Glow state_dict (nf_code.py GlowModel / flow_eeg.py) ->
+    the stacked-parameter pytree of vgd_tpu.models.glow.Glow.
+
+    torch keys: blocks.{i}.flows.{k}.ActNorm.{b,s} (1,C,1,1),
+    .InvConv.{P,L,U,S,S_sign} (masks/eye recomputed on the fly here),
+    .AffCoupling.neuralnet.{0,2}.{weight,bias} + .4.conv.{weight,bias} +
+    .4.scale, and blocks.{i}.prior.conv.{weight,bias} + prior.scale.
+    """
+    sd = _load_state_dict(path)
+    params: Dict = {}
+    for i in range(n_blocks):
+        flows = {"actnorm": {"b": [], "s": []},
+                 "invconv": {"P": [], "L": [], "U": [], "log_s": [],
+                             "s_sign": []},
+                 "coupling": {"conv1": {"w": [], "b": []},
+                              "conv2": {"w": [], "b": []},
+                              "zero": {"w": [], "b": [], "scale": []}}}
+        for k in range(n_flows):
+            pre = f"blocks.{i}.flows.{k}"
+            flows["actnorm"]["b"].append(
+                sd[f"{pre}.ActNorm.b"].reshape(-1))
+            flows["actnorm"]["s"].append(
+                sd[f"{pre}.ActNorm.s"].reshape(-1))
+            flows["invconv"]["P"].append(sd[f"{pre}.InvConv.P"])
+            flows["invconv"]["L"].append(sd[f"{pre}.InvConv.L"])
+            flows["invconv"]["U"].append(sd[f"{pre}.InvConv.U"])
+            flows["invconv"]["log_s"].append(sd[f"{pre}.InvConv.S"])
+            flows["invconv"]["s_sign"].append(sd[f"{pre}.InvConv.S_sign"])
+            cp = f"{pre}.AffCoupling.neuralnet"
+            flows["coupling"]["conv1"]["w"].append(
+                conv_w(sd[f"{cp}.0.weight"]))
+            flows["coupling"]["conv1"]["b"].append(sd[f"{cp}.0.bias"])
+            flows["coupling"]["conv2"]["w"].append(
+                conv_w(sd[f"{cp}.2.weight"]))
+            flows["coupling"]["conv2"]["b"].append(sd[f"{cp}.2.bias"])
+            flows["coupling"]["zero"]["w"].append(
+                conv_w(sd[f"{cp}.4.conv.weight"]))
+            flows["coupling"]["zero"]["b"].append(sd[f"{cp}.4.conv.bias"])
+            flows["coupling"]["zero"]["scale"].append(
+                sd[f"{cp}.4.scale"].reshape(-1))
+        flows = _stack_lists(flows)
+        prior = {"w": conv_w(sd[f"blocks.{i}.prior.conv.weight"]),
+                 "b": sd[f"blocks.{i}.prior.conv.bias"],
+                 "scale": sd[f"blocks.{i}.prior.scale"].reshape(-1)}
+        params[f"block{i}"] = {"flows": flows, "prior": prior}
+    return params
+
+
+def _stack_lists(tree):
+    if isinstance(tree, dict):
+        return {k: _stack_lists(v) for k, v in tree.items()}
+    return np.stack(tree)
