@@ -439,6 +439,13 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
             np.savez(os.path.join(
                 sample_dir,
                 f"fake_eeg_{cfg.event_type}_training_{i + 1}.npz"), arr)
+            # trace plot of the first generated trial (flow_eeg.py:414-417)
+            from vgd_tpu.data.eeg import CHANNEL_NAMES
+            from vgd_tpu.utils.viz import plot_eeg_signals
+            plot_eeg_signals(arr, os.path.join(
+                sample_dir,
+                f"fake_eeg_{cfg.event_type}_training_{i + 1}.png"),
+                channel_names=CHANNEL_NAMES)
             log.append(iter=i + 1, loss=float(m["loss"]))
             print(f"[glow-eeg:{cfg.event_type}] iter {i + 1}/{n_iter} "
                   f"loss={float(m['loss']):.4f}")
@@ -506,3 +513,60 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
     ckpt.close()
     return {"state": state, "log": log.history, "trainer": trainer,
             "val": val}
+
+
+def evaluate_diffusion(cfg: DiffusionConfig, state, trainer, val,
+                       feature_fn=None, max_batches: Optional[int] = None,
+                       save_panels: bool = True) -> Dict:
+    """Restoration evaluation (test_diffusion.py:80-171): partially noise
+    each val image to a random t, run the full compiled ancestral reverse
+    chain, score SSIM/IS/FID (+PSNR), and save original/noisy/multi-step/
+    one-step comparison panels."""
+    from vgd_tpu.eval.metrics import psnr as psnr_fn
+    from vgd_tpu.train.diffusion import q_sample
+
+    key = seed_all(cfg.run.seed)
+    acc = MetricAccumulator(feature_fn=feature_fn)
+    psnr_sum, n_b = 0.0, 0
+    for j, (vbatch, n_valid) in enumerate(val.epoch()):
+        if max_batches is not None and j >= max_batches:
+            break
+        x0 = to_signed(jnp.asarray(vbatch))
+        k_t, k_n, k_chain = jax.random.split(jax.random.fold_in(key, j), 3)
+        # batch-wide random start step (the reference uses ts[0].item(),
+        # test_diffusion.py:90)
+        t_start = jax.random.randint(k_t, (), 0, cfg.timesteps)
+        noise = jax.random.normal(k_n, x0.shape)
+        t_vec = jnp.full((x0.shape[0],), t_start, jnp.int32)
+        xt = q_sample(trainer.sched, x0, t_vec, noise)
+        restored = trainer.ancestral_sample(state, xt, t_start, k_chain)
+        fake_unit = signed_to_unit(restored)
+        real_unit = signed_to_unit(x0)
+        acc.update(fake_unit, real_unit)
+        psnr_sum += float(psnr_fn(fake_unit, real_unit))
+        n_b += 1
+        if save_panels and j == 0:
+            one_step = trainer.predict_x0(state, xt, t_vec)
+            panels = [np.asarray(x0), np.asarray(jnp.clip(xt, -1, 1)),
+                      np.asarray(restored), np.asarray(one_step)]
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            n_show = min(4, len(panels[0]))
+            fig, axes = plt.subplots(4, n_show, figsize=(n_show * 2, 8))
+            titles = ["original", "noisy", "multi-step", "one-step"]
+            for r in range(4):
+                for c_ in range(n_show):
+                    ax = axes[r][c_] if n_show > 1 else axes[r]
+                    ax.imshow(np.clip(panels[r][c_] * 0.5 + 0.5, 0, 1))
+                    ax.set_axis_off()
+                    if c_ == 0:
+                        ax.set_title(titles[r], fontsize=8)
+            os.makedirs(cfg.run.out_dir, exist_ok=True)
+            fig.savefig(os.path.join(cfg.run.out_dir,
+                                     "diffusion_restore_panel.jpg"),
+                        bbox_inches="tight", dpi=90)
+            plt.close(fig)
+    out = acc.compute()
+    out["psnr"] = psnr_sum / max(n_b, 1)
+    return out

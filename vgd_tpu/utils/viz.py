@@ -35,3 +35,34 @@ def save_gif(frame_paths: Sequence[str], out_path: str,
         return
     frames[0].save(out_path, save_all=True, append_images=frames[1:],
                    duration=duration_ms, loop=0)
+
+
+def plot_eeg_signals(trials, out_path: str, n_channels: int = None,
+                     fs: float = 62.5, channel_names=None):
+    """Stacked multichannel EEG trace plot — the capability the reference
+    gets from mne.io.RawArray.plot (flow_eeg.py:414-417); mne is not in this
+    image, so matplotlib draws the stacked traces directly.
+
+    trials: (C, T) single trial or (N, C, T) (the first is plotted)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    arr = np.asarray(trials)
+    if arr.ndim == 3:
+        arr = arr[0]
+    c, t = arr.shape
+    if n_channels is not None:
+        c = min(c, n_channels)
+        arr = arr[:c]
+    times = np.arange(t) / fs
+    spread = np.std(arr) * 4 + 1e-9
+    fig, ax = plt.subplots(figsize=(10, max(4, c * 0.4)))
+    for i in range(c):
+        ax.plot(times, arr[i] + (c - 1 - i) * spread, lw=0.6)
+    ax.set_yticks([(c - 1 - i) * spread for i in range(c)])
+    ax.set_yticklabels(channel_names[:c] if channel_names
+                       else [f"ch{i}" for i in range(c)], fontsize=7)
+    ax.set_xlabel("time [s]")
+    fig.savefig(out_path, bbox_inches="tight", dpi=90)
+    plt.close(fig)
