@@ -161,3 +161,34 @@ def test_glow_eeg_trainer_step_and_sample():
     assert np.isfinite(float(m["loss"]))
     fakes = tr.reverse(state, tr.sample_z(KEY, 3))
     assert fakes.shape == (3, 32, 1, 6)
+
+
+def test_forward_reverse_identity_perturbed_f64():
+    """With non-identity (perturbed) weights, f32 roundtrips accumulate
+    conditioning error through the flow stack; in f64 the inverse must be
+    exact — this pins the reverse-path LOGIC as correct independent of
+    precision (the at-init identity test is nearly vacuous since all
+    transforms start as identities)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    with jax.enable_x64(True):
+        model = Glow(in_channels=3, n_flows=2, n_blocks=2, variant="image",
+                     filter_size=8)
+        params = model.init(jax.random.key(1))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params), None
+        leaves = []
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            names = [getattr(k, "key", str(k)) for k in path]
+            leaf = jnp.asarray(np.asarray(leaf), jnp.float64)
+            if any(n in names for n in ("L", "U", "log_s", "w", "scale",
+                                        "b", "s")) and \
+                    not any(n in names for n in ("P", "s_sign")):
+                leaf = leaf + 0.2 * rng.standard_normal(leaf.shape)
+            leaves.append(leaf)
+        params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params), leaves)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)))
+        _, _, z_outs = model.forward(params, x)
+        x_rec = model.reverse(params, z_outs, reconstruct=True)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                                   atol=1e-7)

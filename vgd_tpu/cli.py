@@ -105,6 +105,10 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", type=str, default="runs/glow_eeg")
     p.add_argument("--subjects", nargs="*", default=["01"])
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--flows", type=int, default=32)
+    p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--filter-size", type=int, default=512)
+    p.add_argument("--n-samples", type=int, default=288)
 
     a = ap.parse_args(argv)
     from vgd_tpu.train import loop as L
@@ -237,7 +241,7 @@ def _tstr(a):
     print(json.dumps(results))
 
 
-def _generate_synthetic_eeg(a, n_samples: int = 288):
+def _generate_synthetic_eeg(a, n_samples: int = None):
     """Sample trained per-class EEG flows (test_eegglow.py:55-77)."""
     import os
     import jax
@@ -246,9 +250,13 @@ def _generate_synthetic_eeg(a, n_samples: int = 288):
     from vgd_tpu.io.checkpoint import Checkpointer
     from vgd_tpu.train.glow import GlowEEGTrainer
 
+    n_samples = n_samples or getattr(a, "n_samples", 288)
     out = []
     for etype in ("mi", "baseline"):
-        cfg = GlowEEGConfig(event_type=etype)
+        cfg = GlowEEGConfig(event_type=etype,
+                            n_flows=getattr(a, "flows", 32),
+                            n_blocks=getattr(a, "blocks", 4),
+                            filter_size=getattr(a, "filter_size", 512))
         trainer = GlowEEGTrainer(cfg)
         key = jax.random.key(42)
         template = trainer.init(key, 16)
@@ -256,7 +264,19 @@ def _generate_synthetic_eeg(a, n_samples: int = 288):
         state, _, _ = ckpt.restore(template)
         z = trainer.sample_z(key, n_samples)
         fakes = trainer.reverse(state, z)    # (N, T, 1, C)
-        out.append(np.asarray(fakes)[:, :, 0, :].transpose(0, 2, 1))
+        arr = np.asarray(fakes)[:, :, 0, :].transpose(0, 2, 1)
+        finite = np.isfinite(arr).all(axis=(1, 2))
+        if not finite.all():
+            print(f"warning: dropping {int((~finite).sum())}/{len(arr)} "
+                  f"non-finite generated '{etype}' trials (undertrained "
+                  f"flow reverses can overflow)")
+            arr = arr[finite]
+        if len(arr) == 0:
+            raise RuntimeError(
+                f"all generated '{etype}' trials are non-finite — train the "
+                f"flow longer before TSTR (reference uses 6000 iters, "
+                f"flow_eeg.py:461)")
+        out.append(arr)
     return out[0], out[1]
 
 

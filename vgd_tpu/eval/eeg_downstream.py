@@ -52,7 +52,12 @@ class CSP:
         covs = []
         for t in trials:
             c = t @ t.T
-            covs.append(c / np.trace(c))
+            tr = np.trace(c)
+            if not np.isfinite(tr) or tr <= 0:
+                continue  # skip degenerate/non-finite trials
+            covs.append(c / tr)
+        if not covs:
+            raise ValueError("no finite trials for CSP covariance")
         return np.mean(covs, axis=0)
 
     def fit(self, X: np.ndarray, y: np.ndarray) -> "CSP":

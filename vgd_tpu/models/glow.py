@@ -277,7 +277,7 @@ class Glow:
             y, ld, stats = self._flow_fwd(flow_p, y, hw, init)
             return (y, logdet + ld), stats
 
-        (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), F32)),
+        (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), y.dtype)),
                                           p["flows"])
         if split:
             y, z_new = jnp.split(y, 2, axis=-1)
@@ -317,8 +317,8 @@ class Glow:
     # -- model --------------------------------------------------------------
     def forward(self, params: Dict, x: jax.Array, init: bool = False):
         """Returns (log_p_sum, logdet, z_outs[, actnorm_stats if init])."""
-        log_p_sum = jnp.zeros((x.shape[0],), F32)
-        logdet = jnp.zeros((), F32)
+        log_p_sum = jnp.zeros((x.shape[0],), x.dtype)
+        logdet = jnp.zeros((), x.dtype)
         z_outs, all_stats = [], {}
         for i in range(self.cfg.n_blocks):
             p = params[f"block{i}"]

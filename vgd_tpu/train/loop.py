@@ -109,11 +109,12 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
     for epoch in range(start_epoch, epochs):
         ramp = jnp.float32(trainer.kl_ramp(epoch))
         sums, count, n_sampled, t0 = {}, 0, 0, time.perf_counter()
-        for i, (batch, _) in enumerate(train.epoch()):
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             prof.step(gstep)
-            state, m = trainer.train_step(state, jnp.asarray(batch),
+            state, m = trainer.train_step(state, batch,
                                           jax.random.fold_in(key, gstep),
                                           ramp)
             gstep += 1
@@ -131,6 +132,7 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
         # reference's per-epoch loop (vaegan_code.py:143-191)
         acc = MetricAccumulator(feature_fn=feature_fn)
         val_loss, n_val, panel = 0.0, 0, None
+        psnr_sum, n_vb = 0.0, 0
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             ev = trainer.eval_step(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 10_000 + j))
@@ -138,12 +140,14 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
             n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
             acc.update(signed_to_unit(ev["recon"]), signed_to_unit(img))
+            psnr_sum += float(psnr(signed_to_unit(ev["recon"]),
+                                   signed_to_unit(img)))
+            n_vb += 1
             if panel is None:
                 panel = (np.asarray(ev["noisy"]), np.asarray(img),
                          np.asarray(ev["recon"]))
         metrics = acc.compute()
-        metrics["psnr"] = float(psnr(signed_to_unit(jnp.asarray(panel[2])),
-                                     signed_to_unit(jnp.asarray(panel[1]))))
+        metrics["psnr"] = psnr_sum / max(n_vb, 1)
         row = {("train_" + k): v / max(1, n_sampled)
                for k, v in sums.items()}
         row.update(val_loss=val_loss / max(n_val, 1),
@@ -197,11 +201,12 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
         ramp = jnp.float32(min(epoch / cfg.kl_warmup_epochs, 1.0))
         total, count = 0.0, 0
         t0 = time.perf_counter()
-        for i, (batch, _) in enumerate(train.epoch()):
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             prof.step(gstep)
-            state, m = trainer.train_step(state, jnp.asarray(batch),
+            state, m = trainer.train_step(state, batch,
                                           jax.random.fold_in(key, gstep),
                                           ramp)
             gstep += 1
@@ -276,11 +281,12 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
         d_sum = g_sum = 0.0
         count = 0
         t0 = time.perf_counter()
-        for i, (batch, _) in enumerate(train.epoch()):
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             prof.step(gstep)
-            state, m = step_fn(state, jnp.asarray(batch),
+            state, m = step_fn(state, batch,
                                jax.random.fold_in(key, gstep))
             gstep += 1
             count += 1
@@ -382,6 +388,8 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
                   f"loss={float(m['loss']):.4f} {ips:.0f} img/s")
         if (i + 1) % cfg.run.checkpoint_every_iters == 0:
             ckpt.save(i + 1, state, key)
+    if ckpt.latest_step() != n_iter:   # always leave a final checkpoint
+        ckpt.save(n_iter, state, key, wait=True)
     _epoch_metrics_header(log, cfg.run.out_dir, "glow_")
     prof.close()
     ckpt.close()
@@ -451,6 +459,8 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
                   f"loss={float(m['loss']):.4f}")
         if (i + 1) % cfg.run.checkpoint_every_iters == 0:
             ckpt.save(i + 1, state, key)
+    if ckpt.latest_step() != n_iter:   # always leave a final checkpoint
+        ckpt.save(n_iter, state, key, wait=True)
     _epoch_metrics_header(log, cfg.run.out_dir, f"eeg_{cfg.event_type}_")
     ckpt.close()
     return {"state": state, "log": log.history, "trainer": trainer}
@@ -483,11 +493,12 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
     for epoch in range(start_epoch, epochs):
         total, count = 0.0, 0
         t0 = time.perf_counter()
-        for i, (batch, _) in enumerate(train.epoch()):
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             prof.step(gstep)
-            state, m = trainer.train_step(state, jnp.asarray(batch),
+            state, m = trainer.train_step(state, batch,
                                           jax.random.fold_in(key, gstep))
             gstep += 1
             count += 1
