@@ -109,3 +109,15 @@ def test_vaegan_data_parallel_mesh():
     # params stay replicated after the step
     leaf = jax.tree_util.tree_leaves(state.encoder.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_vaegan_disl_feature_loss_step():
+    """The Dis_l feature-reconstruction option (README.md:11-14 names it;
+    vaegan_code.py:113 ships pixel MSE) must train end-to-end."""
+    cfg = VAEGANConfig(data=DataConfig(image_size=(64, 64), batch_size=4),
+                       run=F32, recon_loss="disl")
+    tr = VAEGANTrainer(cfg, (64, 64, 3))
+    state = tr.init(KEY, 4)
+    state, m = tr.train_step(state, _batch(4), KEY, jnp.float32(0.5))
+    assert np.isfinite(float(m["recon"])) and np.isfinite(float(m["g_total"]))
+    assert int(state.encoder.opt_state[0].count) == 1

@@ -151,6 +151,7 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, run=_run_cfg(cfg.run, a, "runs/glow_eeg"),
             **({"n_iter": a.iters} if a.iters else {}),
+            **({"batch_size": a.batch_size} if a.batch_size else {}),
             **({"lr": a.lr} if a.lr else {}))
         L.run_glow_eeg(cfg)
     elif a.cmd == "diffusion":
