@@ -6,8 +6,15 @@ Prints ONE JSON line:
 Config matches BASELINE.json config 1: CelebA 64x64, batch 64, the full
 reference training step (encode/reparam/decode, 2 discriminator Adam steps
 with label smoothing + instance noise, G/E step with pixel MSE + KL warmup +
-adversarial BCE — vaegan_code.py:55-135 semantics) compiled into one XLA
-program, bf16 conv compute.
+adversarial BCE — vaegan_code.py:55-135 semantics), run via the
+device-resident epoch scan (ONE compiled program per 28-step epoch) with
+bf16 conv compute.
+
+Timing methodology: each measured region ends with a host fetch of a
+parameter value. On the axon TPU tunnel, ``block_until_ready`` returns at
+dispatch-accept, not completion — dispatch-queue timings overstate
+throughput ~4x (measured); fetch-timing is honest and also covers the
+per-call RPC overhead a real trainer pays.
 
 Baseline: the reference's own torch implementation measured on this host's
 CPU via benchmarks/reference_baseline_torch.py (the reference publishes no
@@ -31,40 +38,46 @@ def main():
     from vgd_tpu.data.celeba import synthetic_faces
     from vgd_tpu.train.vaegan import VAEGANTrainer
 
-    batch_size, img = 64, 64
+    batch_size, img, steps = 64, 64, 28
     cfg = VAEGANConfig(data=DataConfig(image_size=(img, img),
                                        batch_size=batch_size))
     trainer = VAEGANTrainer(cfg, (img, img, 3))
     key = jax.random.key(42)
     state = trainer.init(key, batch_size)
 
-    data = synthetic_faces(256, (img, img), seed=0)
-    batches = [jnp.asarray(data[i * batch_size:(i + 1) * batch_size])
-               for i in range(len(data) // batch_size)]
+    data = synthetic_faces(steps * batch_size, (img, img), seed=0)
+    stacked = jnp.asarray(np.stack(
+        [data[i * batch_size:(i + 1) * batch_size] for i in range(steps)]))
+
+    def fetch(s):
+        # host fetch forces true completion (tunnel-safe timing)
+        return float(jnp.sum(s.encoder.params["fc_mu"]["bias"]))
 
     # warmup / compile
-    state, m = trainer.train_step(state, batches[0], key, jnp.float32(0.5))
-    jax.block_until_ready(m["recon"])
+    state, _ = trainer.train_epoch(state, stacked, key, jnp.float32(0.5))
+    fetch(state)
 
-    n_steps = 50
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, m = trainer.train_step(state, batches[i % len(batches)],
-                                      jax.random.fold_in(key, i),
-                                      jnp.float32(0.5))
-    jax.block_until_ready(m["recon"])
-    dt = time.perf_counter() - t0
-    ips = n_steps * batch_size / dt
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        state, _ = trainer.train_epoch(state, stacked,
+                                       jax.random.fold_in(key, rep),
+                                       jnp.float32(0.5))
+        fetch(state)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    ips = steps * batch_size / dt
 
     print(json.dumps({
-        "metric": "VAE-GAN train throughput (CelebA 64x64, batch 64, "
-                  "full 3-optimizer step)",
+        "metric": "VAE-GAN train throughput (CelebA 64x64, batch 64, full "
+                  "3-optimizer step, device-resident epoch scan, "
+                  "fetch-timed)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_TRAIN_IPS, 2),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "step_ms": round(1000 * dt / n_steps, 2),
+        "step_ms": round(1000 * dt / steps, 2),
     }))
 
 

@@ -86,7 +86,10 @@ def _epoch_metrics_header(log, out_dir, prefix=""):
 def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
                max_steps_per_epoch: Optional[int] = None,
                feature_fn: Optional[Callable] = None,
-               resume: bool = False) -> Dict:
+               resume: bool = False,
+               epoch_scan: Optional[bool] = None) -> Dict:
+    """epoch_scan: scan the whole epoch on-device in one compiled program
+    (auto-enabled when an epoch of batches is < ~2 GiB)."""
     from vgd_tpu.train.vaegan import VAEGANTrainer
 
     key = _setup(cfg.run)
@@ -105,26 +108,47 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
                                 (64, cfg.latent_dim))
     epochs = cfg.epochs if epochs is None else epochs
 
+    steps_per_epoch = len(train)
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    epoch_bytes = steps_per_epoch * cfg.data.batch_size * \
+        int(np.prod(img_shape))
+    if epoch_scan is None:
+        epoch_scan = epoch_bytes <= 2 * 1024 ** 3
+
     gstep = 0
     for epoch in range(start_epoch, epochs):
         ramp = jnp.float32(trainer.kl_ramp(epoch))
         sums, count, n_sampled, t0 = {}, 0, 0, time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
-        for i, batch in enumerate(batches):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            prof.step(gstep)
-            state, m = trainer.train_step(state, batch,
-                                          jax.random.fold_in(key, gstep),
-                                          ramp)
-            gstep += 1
-            count += 1
-            # fetch loss scalars only every 50 steps — the reference syncs
-            # .item() three times per batch (vaegan_code.py:125-127)
-            if count == 1 or count % 50 == 0:
-                n_sampled += 1
-                for k, v in m.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+        if epoch_scan:
+            # ONE compiled program scans the whole epoch on device
+            stacked = np.stack([b for b, _ in train.epoch()]
+                               [:steps_per_epoch])
+            state, m = trainer.train_epoch(state, jnp.asarray(stacked),
+                                           jax.random.fold_in(key, epoch),
+                                           ramp)
+            count = gstep_inc = stacked.shape[0]
+            gstep += gstep_inc
+            n_sampled = 1
+            sums = {k: float(v) for k, v in m.items()}
+        else:
+            batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+            for i, batch in enumerate(batches):
+                if max_steps_per_epoch is not None and \
+                        i >= max_steps_per_epoch:
+                    break
+                prof.step(gstep)
+                state, m = trainer.train_step(state, batch,
+                                              jax.random.fold_in(key, gstep),
+                                              ramp)
+                gstep += 1
+                count += 1
+                # fetch loss scalars only every 50 steps — the reference
+                # syncs .item() 3x per batch (vaegan_code.py:125-127)
+                if count == 1 or count % 50 == 0:
+                    n_sampled += 1
+                    for k, v in m.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
         dt = time.perf_counter() - t0
         ips = count * cfg.data.batch_size / max(dt, 1e-9)
 

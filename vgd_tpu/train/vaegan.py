@@ -89,11 +89,10 @@ class VAEGANTrainer:
             mutable=["batch_stats"])
         return mu, logvar, recon, enc_mut["batch_stats"], dec_mut["batch_stats"]
 
-    # -- the single jitted step --------------------------------------------
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: VAEGANState, batch_uint8: jax.Array,
-                   key: jax.Array, kl_ramp: jax.Array
-                   ) -> Tuple[VAEGANState, Dict[str, jax.Array]]:
+    # -- the single step (implementation; jit wrappers below) --------------
+    def _train_step_impl(self, state: VAEGANState, batch_uint8: jax.Array,
+                         key: jax.Array, kl_ramp: jax.Array
+                         ) -> Tuple[VAEGANState, Dict[str, jax.Array]]:
         cfg = self.cfg
         x = to_signed(batch_uint8)
         b = x.shape[0]
@@ -177,6 +176,33 @@ class VAEGANTrainer:
         metrics = {"recon": recon_loss, "kl": kl, "adv": adv,
                    "d_loss": d_loss, "g_total": g_total}
         return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: VAEGANState, batch_uint8: jax.Array,
+                   key: jax.Array, kl_ramp: jax.Array
+                   ) -> Tuple[VAEGANState, Dict[str, jax.Array]]:
+        return self._train_step_impl(state, batch_uint8, key, kl_ramp)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, state: VAEGANState, batches_uint8: jax.Array,
+                    key: jax.Array, kl_ramp: jax.Array
+                    ) -> Tuple[VAEGANState, Dict[str, jax.Array]]:
+        """Device-resident epoch: ONE compiled program scanning the whole
+        epoch's stacked batches (n_steps, B, H, W, C). Removes all per-step
+        host dispatch/H2D overhead — the TPU-native answer to the
+        reference's per-batch CPU->GPU copies (vaegan_code.py:66). Metrics
+        are the per-epoch means."""
+        n_steps = batches_uint8.shape[0]
+
+        def body(carry, inp):
+            state, i = carry
+            new_state, m = self._train_step_impl(
+                state, inp, jax.random.fold_in(key, i), kl_ramp)
+            return (new_state, i + 1), m
+
+        (state, _), ms = jax.lax.scan(body, (state, jnp.int32(0)),
+                                      batches_uint8)
+        return state, jax.tree_util.tree_map(jnp.mean, ms)
 
     # -- validation: denoising pass (vaegan_code.py:150-167) ---------------
     @functools.partial(jax.jit, static_argnums=0)
