@@ -76,18 +76,24 @@ def ssim(pred: jax.Array, target: jax.Array, data_range: float = 1.0,
     kern4 = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))  # HWIO, groups=c
 
     def filt(x):
+        # HIGHEST precision: TPU convs otherwise truncate to bf16, and the
+        # E[x^2]-E[x]^2 cancellation then produces garbage (SSIM >> 1) on
+        # smooth regions
         return jax.lax.conv_general_dilated(
             x, kern4, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
 
     mu_p = filt(pred)
     mu_t = filt(target)
     mu_pp = mu_p * mu_p
     mu_tt = mu_t * mu_t
     mu_pt = mu_p * mu_t
-    sigma_pp = filt(pred * pred) - mu_pp
-    sigma_tt = filt(target * target) - mu_tt
+    # clamp self-variances at 0 (float cancellation can leave tiny negatives
+    # that blow up the ratio on near-constant windows)
+    sigma_pp = jnp.maximum(filt(pred * pred) - mu_pp, 0.0)
+    sigma_tt = jnp.maximum(filt(target * target) - mu_tt, 0.0)
     sigma_pt = filt(pred * target) - mu_pt
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
