@@ -121,3 +121,29 @@ def test_vaegan_disl_feature_loss_step():
     state, m = tr.train_step(state, _batch(4), KEY, jnp.float32(0.5))
     assert np.isfinite(float(m["recon"])) and np.isfinite(float(m["g_total"]))
     assert int(state.encoder.opt_state[0].count) == 1
+
+
+def test_glow_tensor_parallel_mesh():
+    """Glow coupling filters sharded over the model axis (2 data x 4 model):
+    the jitted forward must run, match the replicated result, and keep the
+    coupling conv1 kernel sharded on its filter dim."""
+    from vgd_tpu.models.glow import Glow
+    from vgd_tpu.parallel.tensor_parallel import (shard_glow_batch,
+                                                  shard_glow_coupling)
+
+    mesh = build_mesh(data=2, model=4)
+    model = Glow(in_channels=3, n_flows=2, n_blocks=2, variant="image",
+                 filter_size=32)
+    params = model.init(KEY)
+    x = jax.random.normal(KEY, (4, 16, 16, 3))
+    ref_lp, ref_ld, _ = jax.jit(model.forward)(params, x)
+
+    params_tp = shard_glow_coupling(mesh, params)
+    x_tp = shard_glow_batch(mesh, x)
+    w1 = params_tp["block0"]["flows"]["coupling"]["conv1"]["w"]
+    assert not w1.sharding.is_fully_replicated
+    lp, ld, z_outs = jax.jit(model.forward)(params_tp, x_tp)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref_lp),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(float(ld), float(ref_ld), rtol=2e-4,
+                               atol=1e-3)
