@@ -69,6 +69,15 @@ class _Profiler:
 def _setup(cfg_run):
     if cfg_run.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    try:
+        # persistent XLA compilation cache: repeat CLI invocations skip the
+        # 20-60 s step compiles
+        cache_dir = os.path.expanduser("~/.cache/vgd_tpu_xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     os.makedirs(cfg_run.out_dir, exist_ok=True)
     return seed_all(cfg_run.seed)
 
