@@ -120,7 +120,8 @@ def main(argv=None):
             run=_run_cfg(cfg.run, a, "runs/vaegan"),
             **({"epochs": a.epochs} if a.epochs else {}),
             **({"lr": a.lr} if a.lr else {}))
-        L.run_vaegan(cfg, max_steps_per_epoch=a.steps_per_epoch)
+        L.run_vaegan(cfg, max_steps_per_epoch=a.steps_per_epoch,
+                     resume=a.resume)
     elif a.cmd == "vae":
         cfg = C.VAEConfig()
         data = dataclasses.replace(_data_cfg(cfg.data, a),
@@ -129,7 +130,8 @@ def main(argv=None):
             cfg, data=data, run=_run_cfg(cfg.run, a, "runs/vae"),
             **({"epochs": a.epochs} if a.epochs else {}),
             **({"lr": a.lr} if a.lr else {}))
-        L.run_vae(cfg, max_steps_per_epoch=a.steps_per_epoch)
+        L.run_vae(cfg, max_steps_per_epoch=a.steps_per_epoch,
+                  resume=a.resume)
     elif a.cmd in ("gan", "wgan"):
         cfg = C.GANConfig(wgan=(a.cmd == "wgan"))
         cfg = dataclasses.replace(
@@ -137,7 +139,8 @@ def main(argv=None):
             run=_run_cfg(cfg.run, a, f"runs/{a.cmd}"),
             **({"epochs": a.epochs} if a.epochs else {}),
             **({"lr": a.lr} if a.lr else {}))
-        L.run_gan(cfg, max_steps_per_epoch=a.steps_per_epoch)
+        L.run_gan(cfg, max_steps_per_epoch=a.steps_per_epoch,
+                  resume=a.resume)
     elif a.cmd == "glow":
         cfg = C.GlowConfig()
         cfg = dataclasses.replace(
@@ -145,7 +148,7 @@ def main(argv=None):
             run=_run_cfg(cfg.run, a, "runs/glow"),
             **({"n_iter": a.iters} if a.iters else {}),
             **({"lr": a.lr} if a.lr else {}))
-        L.run_glow(cfg)
+        L.run_glow(cfg, resume=a.resume)
     elif a.cmd == "glow-eeg":
         cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)
         cfg = dataclasses.replace(
@@ -153,7 +156,7 @@ def main(argv=None):
             **({"n_iter": a.iters} if a.iters else {}),
             **({"batch_size": a.batch_size} if a.batch_size else {}),
             **({"lr": a.lr} if a.lr else {}))
-        L.run_glow_eeg(cfg)
+        L.run_glow_eeg(cfg, resume=a.resume)
     elif a.cmd == "diffusion":
         cfg = C.DiffusionConfig(timesteps=a.timesteps,
                                 attention=not a.no_attn)
@@ -162,7 +165,8 @@ def main(argv=None):
             run=_run_cfg(cfg.run, a, "runs/diffusion"),
             **({"epochs": a.epochs} if a.epochs else {}),
             **({"lr": a.lr} if a.lr else {}))
-        L.run_diffusion(cfg, max_steps_per_epoch=a.steps_per_epoch)
+        L.run_diffusion(cfg, max_steps_per_epoch=a.steps_per_epoch,
+                        resume=a.resume)
     elif a.cmd == "denoise":
         _denoise(a)
     elif a.cmd == "tstr":
