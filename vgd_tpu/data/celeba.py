@@ -60,7 +60,10 @@ def _decode_folder(path: str, image_size: Tuple[int, int],
         paths = paths[:dataset_size]
     h, w = image_size
     tag = hashlib.md5(f"{path}|{h}x{w}|{len(paths)}".encode()).hexdigest()[:12]
-    cache = os.path.join(path, f".vgd_cache_{h}x{w}_{tag}.npy")
+    cache_dir = path if os.access(path, os.W_OK) else os.path.join(
+        os.path.expanduser("~/.cache/vgd_tpu_data"))
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, f".vgd_cache_{h}x{w}_{tag}.npy")
     if os.path.exists(cache):
         return np.load(cache, mmap_mode="r")
     out = np.lib.format.open_memmap(cache + ".tmp", mode="w+",

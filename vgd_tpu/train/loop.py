@@ -249,6 +249,7 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
                                                 1e-9)
         val_loss, n_val, panel = 0.0, 0, None
         mse_v = psnr_v = ssim_v = 0.0
+        n_b = 0
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             ev = trainer.eval_step(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 20_000 + j))
@@ -259,10 +260,11 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
             mse_v += float(mse_metric(ru, iu))
             psnr_v += float(psnr(ru, iu))
             ssim_v += float(ssim(ru, iu))
+            n_b += 1
             if panel is None:
                 panel = (np.asarray(ev["noisy"]), np.asarray(img),
                          np.asarray(ev["recon"]))
-        n_b = max(j + 1, 1)
+        n_b = max(n_b, 1)
         log.append(epoch=epoch, train_loss=total / max(count, 1),
                    val_loss=val_loss / max(n_val, 1), images_per_sec=ips,
                    mse=mse_v / n_b, psnr=psnr_v / n_b, ssim=ssim_v / n_b)
