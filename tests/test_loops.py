@@ -1,0 +1,228 @@
+"""Loop-level smoke tests: every run_* driver, the eval entry points, and the
+CLI dispatch, at tiny scale on CPU (SURVEY.md §4 extended to the loop layer —
+the --resume bug of round 1 lived exactly here).
+
+Each test runs the REAL production code path (loops, checkpointing,
+artifacts, resume) with synthetic data and asserts: finite metrics, artifact
+files on disk, and resumability.
+"""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vgd_tpu import cli
+from vgd_tpu.core.config import (DataConfig, DiffusionConfig, GANConfig,
+                                 GlowConfig, GlowEEGConfig, RunConfig,
+                                 VAEConfig, VAEGANConfig)
+from vgd_tpu.train import loop as L
+
+
+def _finite_rows(rows):
+    for row in rows:
+        for k, v in row.items():
+            assert np.isfinite(v), (k, row)
+
+
+# ---------------------------------------------------------------------------
+# VAE-GAN driver + resume
+# ---------------------------------------------------------------------------
+
+def test_run_vaegan_smoke_and_resume(tmp_path):
+    cfg = VAEGANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=4, dataset_size=16),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32"),
+        epochs=1)
+    out = L.run_vaegan(cfg, max_steps_per_epoch=2, epoch_scan=False)
+    _finite_rows(out["log"])
+    assert os.path.exists(tmp_path / "loss.jsonl")
+    assert os.path.exists(tmp_path / "losses.jpg")
+    assert glob.glob(str(tmp_path / "vaegan_fake_epoch_*.jpg"))
+    assert glob.glob(str(tmp_path / "vaegan_decode_epoch_*.jpg"))
+    assert os.path.isdir(tmp_path / "ckpt")
+
+    # resume: epoch 0 checkpoint exists -> a 2-epoch resumed run does ONLY
+    # epoch 1 (one new log row)
+    out2 = L.run_vaegan(cfg, epochs=2, max_steps_per_epoch=2,
+                        epoch_scan=False, resume=True)
+    assert len(out2["log"]) == 1
+    assert out2["log"][0]["epoch"] == 1
+
+
+# ---------------------------------------------------------------------------
+# VAE driver with occlusion + both eval paths + sample, via the CLI
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vae_run_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vae_run"))
+    rc = cli.main(["vae", "--epochs", "1", "--steps-per-epoch", "2",
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "--out-dir", d, "--occlusion",
+                   "--compute-dtype", "float32"])
+    assert rc == 0
+    return d
+
+
+def test_vae_cli_train_artifacts(vae_run_dir):
+    assert os.path.exists(os.path.join(vae_run_dir, "vae_loss.jsonl"))
+    rows = [json.loads(ln) for ln in
+            open(os.path.join(vae_run_dir, "vae_loss.jsonl"))]
+    _finite_rows(rows)
+    assert glob.glob(os.path.join(vae_run_dir, "vae_fake_epoch_*.jpg"))
+    assert os.path.isdir(os.path.join(vae_run_dir, "ckpt"))
+
+
+def test_eval_vae_occlusion_cli(vae_run_dir):
+    rc = cli.main(["eval-vae", "--occlusion", "--out-dir", vae_run_dir,
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "--max-batches", "1"])
+    assert rc == 0
+    for f in ("occlusion_metrics.npz", "occlusion_triplets.jpg",
+              "occlusion_renoise_cycles.jpg", "occlusion_traversal_mu.jpg",
+              "occlusion_traversal_logvar.jpg"):
+        assert os.path.exists(os.path.join(vae_run_dir, f)), f
+    m = np.load(os.path.join(vae_run_dir, "occlusion_metrics.npz"))
+    for k in ("test_loss", "mse", "psnr", "ssim"):
+        assert np.isfinite(float(m[k])), k
+
+
+def test_eval_vae_aggregated_posterior_cli(vae_run_dir):
+    rc = cli.main(["eval-vae", "--out-dir", vae_run_dir,
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "--max-checkpoints", "1", "--max-batches", "1"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(vae_run_dir, "vae_eval_metrics.npz"))
+    assert glob.glob(os.path.join(vae_run_dir, "vae_aggpost_step_*.jpg"))
+
+
+def test_sample_vae_cli(vae_run_dir):
+    out = os.path.join(vae_run_dir, "samples.jpg")
+    rc = cli.main(["sample", "--family", "vae", "--out-dir", vae_run_dir,
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "-n", "4", "--out", out])
+    assert rc == 0
+    assert os.path.exists(out)
+
+
+def test_aggregated_posterior_sweep_api(vae_run_dir):
+    """Direct API path with IS/FID enabled via the random-init surrogate."""
+    cfg = VAEConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=4, dataset_size=16,
+                        noise_max_std=0.5, occlusion=False),
+        run=RunConfig(out_dir=vae_run_dir, compute_dtype="float32"))
+    feature_fn, tag = L.load_feature_fn(True)
+    assert tag == "random-init"
+    res = L.evaluate_vae_checkpoints(cfg, feature_fn=feature_fn,
+                                     max_checkpoints=1,
+                                     max_encode_batches=2,
+                                     max_eval_batches=2)
+    assert len(res) == 1
+    assert np.isfinite(res[0]["ssim"])
+    assert np.isfinite(res[0]["fid"]) and res[0]["fid"] >= 0
+    assert np.isfinite(res[0]["inception_score"])
+
+
+# ---------------------------------------------------------------------------
+# GAN / WGAN drivers + checkpoint-sweep eval via the CLI
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gan_run_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gan_run"))
+    rc = cli.main(["gan", "--epochs", "1", "--steps-per-epoch", "2",
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "--out-dir", d, "--compute-dtype", "float32"])
+    assert rc == 0
+    return d
+
+
+def test_gan_cli_train_artifacts(gan_run_dir):
+    rows = [json.loads(ln) for ln in
+            open(os.path.join(gan_run_dir, "gan_loss.jsonl"))]
+    _finite_rows(rows)
+    assert glob.glob(os.path.join(gan_run_dir, "gan_fake_epoch_*.jpg"))
+
+
+def test_eval_gan_cli(gan_run_dir, capsys):
+    rc = cli.main(["eval-gan", "--out-dir", gan_run_dir,
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "--max-checkpoints", "1"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res) == 1 and np.isfinite(res[0]["ssim"])
+    assert os.path.exists(os.path.join(gan_run_dir, "metrics.npz"))
+
+
+def test_run_wgan_smoke(tmp_path):
+    cfg = GANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=4, dataset_size=16),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32"),
+        wgan=True, epochs=1)
+    out = L.run_gan(cfg, max_steps_per_epoch=1)
+    _finite_rows(out["log"])
+    assert glob.glob(str(tmp_path / "gan_fake_epoch_*.jpg"))
+
+
+# ---------------------------------------------------------------------------
+# Glow image driver + eval + sample
+# ---------------------------------------------------------------------------
+
+def test_run_glow_smoke_eval_sample(tmp_path):
+    cfg = GlowConfig(
+        data=DataConfig(image_size=(16, 16), batch_size=4, dataset_size=16,
+                        normalize=False),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32",
+                      sample_every_iters=2, checkpoint_every_iters=2),
+        n_flows=2, n_blocks=2, filter_size=8, n_iter=2, n_samples=4)
+    out = L.run_glow(cfg)
+    _finite_rows(out["log"])
+    assert glob.glob(str(tmp_path / "sample" / "*.png"))
+
+    res = L.evaluate_glow_from_dir(cfg, max_batches=1)
+    assert np.isfinite(res["ssim"])
+    assert os.path.exists(tmp_path / "glow_eval_metrics.npz")
+
+    path = L.sample_from_dir("glow", cfg, n=4,
+                             out_path=str(tmp_path / "glow_samples.jpg"))
+    assert os.path.exists(path)
+
+
+# ---------------------------------------------------------------------------
+# Glow EEG driver
+# ---------------------------------------------------------------------------
+
+def test_run_glow_eeg_smoke(tmp_path):
+    cfg = GlowEEGConfig(
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32",
+                      sample_every_iters=2, checkpoint_every_iters=2),
+        n_flows=2, n_blocks=2, filter_size=8, n_iter=2, batch_size=4,
+        n_samples=2)
+    out = L.run_glow_eeg(cfg)
+    _finite_rows(out["log"])
+    assert glob.glob(str(tmp_path / "sample" / "fake_eeg_mi_*.npz"))
+    assert glob.glob(str(tmp_path / "sample" / "fake_eeg_mi_*.png"))
+
+
+# ---------------------------------------------------------------------------
+# Diffusion driver + restoration eval + sample
+# ---------------------------------------------------------------------------
+
+def test_run_diffusion_smoke_eval_sample(tmp_path):
+    cfg = DiffusionConfig(
+        data=DataConfig(image_size=(32, 32), batch_size=4, dataset_size=16),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32"),
+        epochs=1, timesteps=10, base_ch=8, time_emb_dim=32, attention=False)
+    out = L.run_diffusion(cfg, max_steps_per_epoch=2)
+    _finite_rows(out["log"])
+
+    res = L.evaluate_diffusion_from_dir(cfg, max_batches=1)
+    assert np.isfinite(res["ssim"]) and np.isfinite(res["psnr"])
+    assert os.path.exists(tmp_path / "diffusion_restore_panel.jpg")
+
+    path = L.sample_from_dir(
+        "diffusion", cfg, n=4,
+        out_path=str(tmp_path / "diffusion_samples.jpg"))
+    assert os.path.exists(path)

@@ -14,6 +14,20 @@ CLI covers train / eval / sample / denoise across the five model families:
   python -m vgd_tpu.cli denoise   --ckpt runs/vae/ckpt --input img.jpg
   python -m vgd_tpu.cli tstr      --method synt   # EEG downstream eval
 
+Evaluation / sampling of trained checkpoints (the reference's runnable eval
+scripts gan_code.py:147, nf_code.py:647, test_diffusion.py:41,
+main_vae.py:215-641):
+
+  python -m vgd_tpu.cli eval-gan       --out-dir runs/gan --fid
+  python -m vgd_tpu.cli eval-vae       --out-dir runs/vae [--occlusion]
+  python -m vgd_tpu.cli eval-glow      --out-dir runs/glow --fid
+  python -m vgd_tpu.cli eval-diffusion --out-dir runs/diffusion
+  python -m vgd_tpu.cli sample --family glow --out-dir runs/glow -n 16
+
+``--fid`` enables IS/FID via the Flax InceptionV3 (random-init surrogate
+features unless --inception-weights points at a torch InceptionV3
+state_dict, e.g. pytorch-fid's pt_inception-2015-12-05).
+
 With no --data, a synthetic dataset is used (smoke/bench runs work without
 any downloads).
 """
@@ -45,6 +59,14 @@ def _add_common(p):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None)
     p.add_argument("--debug-nans", action="store_true")
+
+
+def _add_fid(p):
+    p.add_argument("--fid", action="store_true",
+                   help="compute IS/FID (per-epoch for training commands)")
+    p.add_argument("--inception-weights", type=str, default=None,
+                   help="torch InceptionV3 state_dict for true FID/IS "
+                   "(implies --fid)")
 
 
 def _data_cfg(base: C.DataConfig, a) -> C.DataConfig:
@@ -79,8 +101,13 @@ def main(argv=None):
                  "diffusion"):
         p = sub.add_parser(name)
         _add_common(p)
+        if name == "vaegan":
+            _add_fid(p)
         if name == "vae":
             p.add_argument("--noise-std", type=float, default=0.5)
+            p.add_argument("--occlusion", action="store_true",
+                           help="train with occlusion-rectangle corruption "
+                           "(dataset_code.py:44-56 pipeline)")
         if name == "glow-eeg":
             p.add_argument("--event-type", default="mi",
                            choices=["mi", "baseline"])
@@ -96,6 +123,43 @@ def main(argv=None):
     p.add_argument("--output", default="denoised.png")
     p.add_argument("--image-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
+
+    # eval / sample subcommands over trained checkpoints
+    for name in ("eval-gan", "eval-vae", "eval-glow", "eval-diffusion"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        _add_fid(p)
+        p.add_argument("--step", type=int, default=None,
+                       help="checkpoint step (default: latest)")
+        p.add_argument("--max-batches", type=int, default=None)
+        if name == "eval-gan":
+            p.add_argument("--wgan", action="store_true")
+            p.add_argument("--max-checkpoints", type=int, default=None)
+        if name == "eval-vae":
+            p.add_argument("--occlusion", action="store_true",
+                           help="occlusion test-set evaluation "
+                           "(main_vae.py:236-343) instead of the "
+                           "aggregated-posterior sweep")
+            p.add_argument("--max-checkpoints", type=int, default=None)
+            p.add_argument("--noise-std", type=float, default=0.5)
+        if name == "eval-diffusion":
+            p.add_argument("--timesteps", type=int, default=1000)
+            p.add_argument("--no-attn", action="store_true")
+
+    p = sub.add_parser("sample", help="sample grid from a trained "
+                       "checkpoint")
+    _add_common(p)
+    p.add_argument("--family", required=True,
+                   choices=["vaegan", "vae", "gan", "wgan", "glow",
+                            "glow-eeg", "diffusion"])
+    p.add_argument("-n", "--num-samples", type=int, default=64)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--no-attn", action="store_true")
+    p.add_argument("--event-type", default="mi",
+                   choices=["mi", "baseline"])
 
     p = sub.add_parser("tstr", help="EEG TSTR downstream eval "
                        "(test_eegglow.py capability)")
@@ -120,12 +184,14 @@ def main(argv=None):
             run=_run_cfg(cfg.run, a, "runs/vaegan"),
             **({"epochs": a.epochs} if a.epochs else {}),
             **({"lr": a.lr} if a.lr else {}))
+        feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
         L.run_vaegan(cfg, max_steps_per_epoch=a.steps_per_epoch,
-                     resume=a.resume)
+                     feature_fn=feature_fn, resume=a.resume)
     elif a.cmd == "vae":
         cfg = C.VAEConfig()
         data = dataclasses.replace(_data_cfg(cfg.data, a),
-                                   noise_max_std=a.noise_std)
+                                   noise_max_std=a.noise_std,
+                                   occlusion=a.occlusion)
         cfg = dataclasses.replace(
             cfg, data=data, run=_run_cfg(cfg.run, a, "runs/vae"),
             **({"epochs": a.epochs} if a.epochs else {}),
@@ -167,11 +233,85 @@ def main(argv=None):
             **({"lr": a.lr} if a.lr else {}))
         L.run_diffusion(cfg, max_steps_per_epoch=a.steps_per_epoch,
                         resume=a.resume)
+    elif a.cmd == "eval-gan":
+        cfg = C.GANConfig(wgan=a.wgan)
+        cfg = dataclasses.replace(
+            cfg, data=_data_cfg(cfg.data, a),
+            run=_run_cfg(cfg.run, a, f"runs/{'wgan' if a.wgan else 'gan'}"))
+        feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
+        res = L.evaluate_gan_checkpoints(cfg, feature_fn=feature_fn,
+                                         max_checkpoints=a.max_checkpoints)
+        print(json.dumps(res))
+    elif a.cmd == "eval-vae":
+        cfg = C.VAEConfig()
+        data = dataclasses.replace(_data_cfg(cfg.data, a),
+                                   noise_max_std=a.noise_std)
+        cfg = dataclasses.replace(cfg, data=data,
+                                  run=_run_cfg(cfg.run, a, "runs/vae"))
+        if a.occlusion:
+            res = L.evaluate_vae_occlusion(cfg, max_batches=a.max_batches,
+                                           step=a.step)
+        else:
+            feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
+            res = L.evaluate_vae_checkpoints(
+                cfg, feature_fn=feature_fn,
+                max_checkpoints=a.max_checkpoints,
+                max_eval_batches=a.max_batches)
+        print(json.dumps(res))
+    elif a.cmd == "eval-glow":
+        cfg = C.GlowConfig()
+        cfg = dataclasses.replace(cfg, data=_data_cfg(cfg.data, a),
+                                  run=_run_cfg(cfg.run, a, "runs/glow"))
+        feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
+        res = L.evaluate_glow_from_dir(cfg, feature_fn=feature_fn,
+                                       max_batches=a.max_batches,
+                                       step=a.step)
+        print(json.dumps(res))
+    elif a.cmd == "eval-diffusion":
+        cfg = C.DiffusionConfig(timesteps=a.timesteps,
+                                attention=not a.no_attn)
+        cfg = dataclasses.replace(cfg, data=_data_cfg(cfg.data, a),
+                                  run=_run_cfg(cfg.run, a, "runs/diffusion"))
+        feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
+        res = L.evaluate_diffusion_from_dir(cfg, feature_fn=feature_fn,
+                                            max_batches=a.max_batches,
+                                            step=a.step)
+        print(json.dumps(res))
+    elif a.cmd == "sample":
+        cfg = _sample_cfg(a)
+        L.sample_from_dir(a.family, cfg, n=a.num_samples, out_path=a.out,
+                          step=a.step, seed=a.seed)
     elif a.cmd == "denoise":
         _denoise(a)
     elif a.cmd == "tstr":
         _tstr(a)
     return 0
+
+
+def _sample_cfg(a):
+    """Family config for the ``sample`` subcommand."""
+    if a.family == "vaegan":
+        cfg = C.VAEGANConfig()
+    elif a.family == "vae":
+        cfg = C.VAEConfig()
+    elif a.family in ("gan", "wgan"):
+        cfg = C.GANConfig(wgan=(a.family == "wgan"))
+    elif a.family == "glow":
+        cfg = C.GlowConfig()
+        if a.temperature is not None:
+            cfg = dataclasses.replace(cfg, temperature=a.temperature)
+    elif a.family == "glow-eeg":
+        cfg = C.GlowEEGConfig(event_type=a.event_type)
+        if a.temperature is not None:
+            cfg = dataclasses.replace(cfg, temperature=a.temperature)
+        return dataclasses.replace(
+            cfg, run=_run_cfg(cfg.run, a, "runs/glow_eeg"))
+    else:
+        cfg = C.DiffusionConfig(timesteps=a.timesteps,
+                                attention=not a.no_attn)
+    return dataclasses.replace(cfg, data=_data_cfg(cfg.data, a),
+                               run=_run_cfg(cfg.run, a,
+                                            f"runs/{a.family}"))
 
 
 def _denoise(a):

@@ -127,7 +127,11 @@ class GlowConfig:
     """Glow on images. Reference: nf_code.py:560-751."""
     data: DataConfig = field(default_factory=lambda: DataConfig(
         batch_size=16, normalize=False))
-    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/glow"))
+    # f32 couplings by default until long-run bits/dim drift of bf16 is
+    # validated (BASELINE.md); opt in to the measured 1.9x with
+    # --compute-dtype bfloat16. PLU/logdet stay f32 either way.
+    run: RunConfig = field(default_factory=lambda: RunConfig(
+        out_dir="runs/glow", compute_dtype="float32"))
     n_bits: int = 5                     # nf_code.py:712
     n_flows: int = 32                   # K, nf_code.py:717
     n_blocks: int = 4                   # L, nf_code.py:718
@@ -141,7 +145,8 @@ class GlowConfig:
 @dataclass(frozen=True)
 class GlowEEGConfig:
     """1-D Glow on EEG. Reference: flow_eeg.py:343-465."""
-    run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/glow_eeg"))
+    run: RunConfig = field(default_factory=lambda: RunConfig(
+        out_dir="runs/glow_eeg", compute_dtype="float32"))
     eeg_path: Optional[str] = None      # folder of BCI-IV-2a .npz; None => synthetic
     num_channels: int = 22              # flow_eeg.py:12
     num_samples: int = 160              # 640 decimated x4 (flow_eeg.py:33-34)

@@ -433,12 +433,14 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
 
 
 def evaluate_glow(cfg: GlowConfig, state, trainer, val,
-                  feature_fn=None) -> Dict:
+                  feature_fn=None, max_batches: Optional[int] = None) -> Dict:
     """Generate at temperature and score SSIM/IS/FID vs val
     (eval_glow, nf_code.py:647-701; images mapped [-0.5,0.5] -> [0,1])."""
     key = seed_all(cfg.run.seed)
     acc = MetricAccumulator(feature_fn=feature_fn)
     for j, (vbatch, n_valid) in enumerate(val.epoch()):
+        if max_batches is not None and j >= max_batches:
+            break
         z = trainer.sample_z(jax.random.fold_in(key, j), len(vbatch))
         fake = trainer.reverse(state, z)
         fake_unit = jnp.clip(fake + 0.5, 0.0, 1.0)   # nf_code.py:685
@@ -616,3 +618,277 @@ def evaluate_diffusion(cfg: DiffusionConfig, state, trainer, val,
     out = acc.compute()
     out["psnr"] = psnr_sum / max(n_b, 1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Restore-and-evaluate entry points (the reference's runnable eval scripts:
+# gan_code.py:147 eval_gan, nf_code.py:647 eval_glow, test_diffusion.py:41,
+# main_vae.py:215-641 test_vae / evaluate_vae / eval_vae)
+# ---------------------------------------------------------------------------
+
+def load_feature_fn(enabled: bool, weights_path: Optional[str] = None,
+                    feature: str = "64"):
+    """(feature_fn, tag) for IS/FID, or (None, None) when disabled."""
+    if not enabled and weights_path is None:
+        return None, None
+    from vgd_tpu.eval.inception import load_inception
+    return load_inception(weights_path, feature=feature)
+
+
+def evaluate_vae_checkpoints(cfg: VAEConfig, feature_fn=None,
+                             max_checkpoints: Optional[int] = None,
+                             max_encode_batches: Optional[int] = None,
+                             max_eval_batches: Optional[int] = None) -> list:
+    """Aggregated-posterior checkpoint sweep (main_vae.py:438-512
+    ``evaluate_vae`` + 514-575 ``eval_vae``): for every saved checkpoint,
+    encode the train+val sets, build per-dimension empirical CDFs over
+    (mu, logvar), inverse-transform sample, reparameterize, decode, and
+    score SSIM/IS/FID of the generated images against the val set. Saves
+    one sample grid per checkpoint + ``vae_eval_metrics.npz``."""
+    import functools
+
+    from vgd_tpu.eval.sampling import aggregated_posterior_sampler
+    from vgd_tpu.models.vae import reparameterize
+    from vgd_tpu.train.vae import VAETrainer
+
+    key = seed_all(cfg.run.seed)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = VAETrainer(cfg, img_shape)
+    template = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"))
+    steps = ckpt.manager.all_steps()
+    if max_checkpoints:
+        steps = steps[-max_checkpoints:]
+
+    @jax.jit
+    def encode(enc_vars, batch_uint8):
+        return trainer.encoder.apply(enc_vars, to_signed(batch_uint8),
+                                     train=False)
+
+    results = []
+    for s in steps:
+        state, _, _ = ckpt.restore(template, step=s)
+        encode_fn = functools.partial(encode, state.encoder.variables())
+
+        class _Trunc:
+            """Loader view truncated to max_encode_batches."""
+
+            def __init__(self, loader):
+                self.loader = loader
+
+            def epoch(self):
+                for i, item in enumerate(self.loader.epoch()):
+                    if max_encode_batches is not None and \
+                            i >= max_encode_batches:
+                        break
+                    yield item
+
+        sampler = aggregated_posterior_sampler(
+            encode_fn, [_Trunc(train), _Trunc(val)], seed=cfg.run.seed)
+
+        acc = MetricAccumulator(feature_fn=feature_fn)
+        grid = None
+        for j, (vbatch, n_valid) in enumerate(val.epoch()):
+            if max_eval_batches is not None and j >= max_eval_batches:
+                break
+            mu, logvar = sampler(len(vbatch))
+            z, _ = reparameterize(jax.random.fold_in(key, j),
+                                  jnp.asarray(mu), jnp.asarray(logvar))
+            fake = trainer.generate(state, z)
+            real = to_signed(jnp.asarray(vbatch))
+            acc.update(signed_to_unit(fake), signed_to_unit(real))
+            if grid is None:
+                grid = np.asarray(fake)
+        row = {"step": s, **acc.compute()}
+        results.append(row)
+        save_grid(grid, os.path.join(cfg.run.out_dir,
+                                     f"vae_aggpost_step_{s:06d}.jpg"))
+        print(f"[eval-vae] ckpt {s}: " +
+              " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "step"))
+    np.savez(os.path.join(cfg.run.out_dir, "vae_eval_metrics.npz"),
+             results=np.array([list(r.values()) for r in results]),
+             columns=np.array(list(results[0].keys()) if results else []))
+    return results
+
+
+def evaluate_vae_occlusion(cfg: VAEConfig,
+                           max_batches: Optional[int] = None,
+                           renoise_cycles: int = 2,
+                           step: Optional[int] = None) -> Dict:
+    """Occlusion test-set evaluation (dataset_code.py:44-56 +
+    main_vae.py:236-343): build (occluded+noisy, clean) pairs with the
+    corruption pipeline, restore the latest (or given) checkpoint, compute
+    sum-reduction test loss + MSE/PSNR/SSIM, and emit the reference's visual
+    artifacts — noisy/clean/recon triplets, re-noise cycling panels, and
+    mu/logvar latent-traversal strips."""
+    from vgd_tpu.data.corrupt import corrupt
+    from vgd_tpu.eval.vae_analysis import (denoise_test_loss,
+                                           latent_traversal, renoise_cycle)
+    from vgd_tpu.train.vae import VAETrainer
+
+    key = seed_all(cfg.run.seed)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = VAETrainer(cfg, img_shape)
+    template = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"))
+    state, _, s = ckpt.restore(template, step=step)
+    print(f"[eval-vae --occlusion] restored checkpoint step {s}")
+
+    noise_std = cfg.data.noise_max_std if cfg.data.noise_max_std else 0.5
+    sums: Dict[str, float] = {}
+    n_b = 0
+    first = None
+    corrupt_jit = jax.jit(
+        lambda k, img: corrupt(k, img, noise_std, occlusion=True))
+    for j, (vbatch, n_valid) in enumerate(val.epoch()):
+        if max_batches is not None and j >= max_batches:
+            break
+        clean = to_signed(jnp.asarray(vbatch))
+        noisy = corrupt_jit(jax.random.fold_in(key, 40_000 + j), clean)
+        m = denoise_test_loss(trainer, state, noisy, clean,
+                              jax.random.fold_in(key, 50_000 + j))
+        recon = m.pop("recon")
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + v
+        n_b += 1
+        if first is None:
+            first = (np.asarray(noisy), np.asarray(clean), np.asarray(recon))
+    out = {k: v / max(n_b, 1) for k, v in sums.items()}
+
+    od = cfg.run.out_dir
+    save_triplets(*first, os.path.join(od, "occlusion_triplets.jpg"))
+    noisy0 = jnp.asarray(first[0])
+    cycles = renoise_cycle(trainer, state, noisy0,
+                           jax.random.fold_in(key, 60_000),
+                           cycles=renoise_cycles)
+    save_triplets(first[0], np.asarray(cycles[0]), np.asarray(cycles[-1]),
+                  os.path.join(od, "occlusion_renoise_cycles.jpg"))
+    for target in ("mu", "logvar"):
+        frames = latent_traversal(trainer, state, noisy0[:1],
+                                  jax.random.fold_in(key, 70_000),
+                                  target=target)
+        save_grid(np.asarray(frames),
+                  os.path.join(od, f"occlusion_traversal_{target}.jpg"),
+                  nrow=frames.shape[0])
+    np.savez(os.path.join(od, "occlusion_metrics.npz"), **out)
+    print("[eval-vae --occlusion] " +
+          " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+    return out
+
+
+def evaluate_glow_from_dir(cfg: GlowConfig, feature_fn=None,
+                           max_batches: Optional[int] = None,
+                           step: Optional[int] = None) -> Dict:
+    """Restore the latest (or given) Glow checkpoint and run the
+    temperature-sampled SSIM/IS/FID evaluation (nf_code.py:647-701)."""
+    from vgd_tpu.train.glow import GlowTrainer
+
+    key = seed_all(cfg.run.seed)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = GlowTrainer(cfg, img_shape)
+    template = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"))
+    state, _, s = ckpt.restore(template, step=step)
+    print(f"[eval-glow] restored checkpoint step {s}")
+    out = evaluate_glow(cfg, state, trainer, val, feature_fn=feature_fn,
+                        max_batches=max_batches)
+    np.savez(os.path.join(cfg.run.out_dir, "glow_eval_metrics.npz"), **out)
+    print("[eval-glow] " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+    return out
+
+
+def evaluate_diffusion_from_dir(cfg: DiffusionConfig, feature_fn=None,
+                                max_batches: Optional[int] = None,
+                                step: Optional[int] = None) -> Dict:
+    """Restore the latest (or given) DDPM checkpoint and run the
+    partial-noise restoration evaluation (test_diffusion.py:41-177)."""
+    from vgd_tpu.train.diffusion import DiffusionTrainer
+
+    key = seed_all(cfg.run.seed)
+    train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    trainer = DiffusionTrainer(cfg, img_shape)
+    template = trainer.init(key, cfg.data.batch_size)
+    ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"))
+    state, _, s = ckpt.restore(template, step=step)
+    print(f"[eval-diffusion] restored checkpoint step {s}")
+    out = evaluate_diffusion(cfg, state, trainer, val, feature_fn=feature_fn,
+                             max_batches=max_batches)
+    np.savez(os.path.join(cfg.run.out_dir, "diffusion_eval_metrics.npz"),
+             **out)
+    print("[eval-diffusion] " +
+          " ".join(f"{k}={v:.4f}" for k, v in out.items()))
+    return out
+
+
+def sample_from_dir(family: str, cfg, n: int = 64,
+                    out_path: Optional[str] = None,
+                    step: Optional[int] = None, seed: int = 42) -> str:
+    """Generate a sample grid from a trained checkpoint — the runnable
+    counterpart of the reference's interactive samplers (main_vae.py:348-374,
+    gan_code.py:121-122, nf_code.py:613-621, test_diffusion.py:124-155).
+    Returns the written path."""
+    key = seed_all(seed)
+    od = cfg.run.out_dir
+    out_path = out_path or os.path.join(od, f"{family}_samples.jpg")
+
+    if family in ("vaegan", "vae", "gan", "wgan"):
+        if family == "vaegan":
+            from vgd_tpu.train.vaegan import VAEGANTrainer as T
+        elif family == "vae":
+            from vgd_tpu.train.vae import VAETrainer as T
+        else:
+            from vgd_tpu.train.gan import GANTrainer as T
+        train, val, img_shape = make_image_datasets(cfg.data,
+                                                    seed=cfg.run.seed)
+        trainer = T(cfg, img_shape)
+        template = trainer.init(key, cfg.data.batch_size)
+        ckpt = Checkpointer(os.path.join(od, "ckpt"))
+        state, _, s = ckpt.restore(template, step=step)
+        if family in ("gan", "wgan"):
+            z = jax.random.normal(key, (n, 1, 1, cfg.latent_dim))
+        else:
+            z = jax.random.normal(key, (n, cfg.latent_dim))
+        imgs = np.asarray(trainer.generate(state, z))
+        save_grid(imgs, out_path)
+    elif family == "glow":
+        from vgd_tpu.train.glow import GlowTrainer
+        train, val, img_shape = make_image_datasets(cfg.data,
+                                                    seed=cfg.run.seed)
+        trainer = GlowTrainer(cfg, img_shape)
+        template = trainer.init(key, cfg.data.batch_size)
+        ckpt = Checkpointer(os.path.join(od, "ckpt"))
+        state, _, s = ckpt.restore(template, step=step)
+        z = trainer.sample_z(key, n)
+        imgs = np.asarray(trainer.reverse(state, z)) * 2.0
+        save_grid(imgs, out_path)
+    elif family == "glow-eeg":
+        from vgd_tpu.data.eeg import CHANNEL_NAMES
+        from vgd_tpu.train.glow import GlowEEGTrainer
+        from vgd_tpu.utils.viz import plot_eeg_signals
+        trainer = GlowEEGTrainer(cfg)
+        template = trainer.init(key, cfg.batch_size)
+        ckpt = Checkpointer(os.path.join(od, f"ckpt_{cfg.event_type}"))
+        state, _, s = ckpt.restore(template, step=step)
+        z = trainer.sample_z(key, n)
+        fakes = trainer.reverse(state, z)
+        arr = np.asarray(fakes)[:, :, 0, :].transpose(0, 2, 1)
+        out_path = out_path if out_path.endswith(".png") else \
+            out_path.rsplit(".", 1)[0] + ".png"
+        plot_eeg_signals(arr, out_path, channel_names=CHANNEL_NAMES)
+    elif family == "diffusion":
+        from vgd_tpu.train.diffusion import DiffusionTrainer
+        train, val, img_shape = make_image_datasets(cfg.data,
+                                                    seed=cfg.run.seed)
+        trainer = DiffusionTrainer(cfg, img_shape)
+        template = trainer.init(key, cfg.data.batch_size)
+        ckpt = Checkpointer(os.path.join(od, "ckpt"))
+        state, _, s = ckpt.restore(template, step=step)
+        x_t = jax.random.normal(key, (n,) + img_shape)
+        imgs = np.asarray(trainer.ancestral_sample(
+            state, x_t, jnp.int32(cfg.timesteps - 1),
+            jax.random.fold_in(key, 1)))
+        save_grid(imgs, out_path)
+    else:
+        raise ValueError(f"unknown family {family!r}")
+    print(f"[sample] {family} checkpoint -> {out_path}")
+    return out_path

@@ -20,6 +20,7 @@ import optax
 from flax import struct
 
 from vgd_tpu.core.config import VAEConfig
+from vgd_tpu.data.corrupt import corrupt
 from vgd_tpu.models.gan import Generator
 from vgd_tpu.models.vae import (Encoder, kl_divergence, latent_to_spatial,
                                 reparameterize)
@@ -72,10 +73,17 @@ class VAETrainer:
         cfg = self.cfg
         img = to_signed(batch_uint8)
         k_noise, k_eps = jax.random.split(key)
-        # Fixed-std training noise (main_vae.py:104-105).
         std = cfg.data.noise_max_std if cfg.data.noise_max_std else 0.5
-        noisy = jnp.clip(img + std * jax.random.normal(k_noise, img.shape),
-                         -1.0, 1.0)
+        if cfg.data.occlusion:
+            # Full dataset-pipeline corruption: occlusion rectangle +
+            # per-sample-std gaussian noise (dataset_code.py:35-56), on
+            # device inside the compiled step.
+            noisy = corrupt(k_noise, img, std, occlusion=True)
+        else:
+            # Fixed-std training noise (main_vae.py:104-105).
+            noisy = jnp.clip(img + std * jax.random.normal(k_noise,
+                                                           img.shape),
+                             -1.0, 1.0)
 
         def loss_fn(joint):
             enc_vars = {"params": joint["enc"],
@@ -128,8 +136,12 @@ class VAETrainer:
         img = to_signed(batch_uint8)
         k_s, k_n, k_eps = jax.random.split(key, 3)
         max_std = cfg.data.noise_max_std if cfg.data.noise_max_std else 0.5
-        std = jax.random.uniform(k_s, ()) * max_std
-        noisy = jnp.clip(img + std * jax.random.normal(k_n, img.shape), -1, 1)
+        if cfg.data.occlusion:
+            noisy = corrupt(k_n, img, max_std, occlusion=True)
+        else:
+            std = jax.random.uniform(k_s, ()) * max_std
+            noisy = jnp.clip(img + std * jax.random.normal(k_n, img.shape),
+                             -1, 1)
         recon = self.denoise(state, noisy, k_eps)
         mu, logvar = self.encoder.apply(state.encoder.variables(), noisy,
                                         train=False)
