@@ -192,3 +192,54 @@ def test_forward_reverse_identity_perturbed_f64():
         x_rec = model.reverse(params, z_outs, reconstruct=True)
         np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
                                    atol=1e-7)
+
+
+def test_plu_solve_accuracy_at_trained_conditioning():
+    """The triangular-solve PLU inverse (replacing the reference's explicit
+    torch.linalg.inv, nf_code.py:186) must invert the 1x1 conv to f32
+    roundoff at trained-like conditioning (log-singular-values within
+    +-3)."""
+    import numpy as np
+    from vgd_tpu.models.glow import _plu_init
+
+    p = _plu_init(jax.random.key(1), 12)
+    p = dict(p, log_s=jnp.asarray(np.linspace(-3, 3, 12), jnp.float32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 8, 8, 12)).astype(np.float32))
+    W = Glow._plu_weight(p)
+    y = jnp.einsum("bhwi,oi->bhwo", x, W,
+                   precision=jax.lax.Precision.HIGHEST)
+    x_rec = Glow._plu_solve(p, y)
+    rel = float(jnp.max(jnp.abs(x_rec - x)) / jnp.max(jnp.abs(x)))
+    assert rel < 1e-4, rel
+
+
+def test_reverse_finite_guard_on_wild_weights():
+    """Strongly perturbed (mid-training-like) weights amplify off-manifold
+    samples through the inverse flow chain past f32 range — round 1's NaN
+    sample grids. The REV_GUARD clamp must keep the reverse finite (the
+    reference's f32 math infs on the same inputs) without affecting sane
+    magnitudes."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    model = Glow(in_channels=3, n_flows=8, n_blocks=2, variant="image",
+                 filter_size=8)
+    params = model.init(jax.random.key(2))
+    leaves = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = [getattr(k, "key", str(k)) for k in path]
+        if any(n in names for n in ("L", "U", "log_s", "w", "scale",
+                                    "b", "s")) and \
+                not any(n in names for n in ("P", "s_sign")):
+            leaf = leaf + 0.6 * rng.standard_normal(leaf.shape) \
+                .astype(np.float32)
+        leaves.append(leaf)
+    params = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), leaves)
+    # temperature-0.7 prior samples, the mid-training sampling path
+    # (nf_code.py:613-621)
+    from vgd_tpu.models.glow import calc_z_shapes
+    zs = [0.7 * jnp.asarray(rng.standard_normal((2,) + s), jnp.float32)
+          for s in calc_z_shapes(3, 16, 2)]
+    x = model.reverse(params, zs)
+    assert np.isfinite(np.asarray(x)).all()

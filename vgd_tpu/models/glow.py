@@ -250,13 +250,54 @@ class Glow:
         out_b = yb + self._coupling_nn(p["coupling"], ya)
         return jnp.concatenate([ya, out_b], axis=-1), logdet, stats
 
+    # Finite guard for the reverse pass: half-trained flows amplify
+    # off-manifold samples through the 128-flow inverse chain; magnitudes
+    # overflow f32 (the reference's f32 math infs identically —
+    # nf_code.py:613-621 mid-training grids go NaN). Guarding each flow's
+    # output at 1e6 is an exact no-op for any sane activation (trained
+    # activations are O(10)) while leaving ~32 decades of headroom so no
+    # single flow can overflow from a guarded input; nan_to_num catches
+    # pathologies born inside a flow (e.g. exp of a wild prior log_sd).
+    # Result: mid-training sample grids are garbage-but-finite, like f64.
+    REV_GUARD = 1e6
+
+    def _rev_guard(self, x):
+        g = self.REV_GUARD
+        return jnp.clip(jnp.nan_to_num(x, nan=0.0, posinf=g, neginf=-g),
+                        -g, g)
+
     def _flow_rev(self, p, y):
         ya, yb = jnp.split(y, 2, axis=-1)
         in_b = yb - self._coupling_nn(p["coupling"], ya)
         y = jnp.concatenate([ya, in_b], axis=-1)
-        w_inv = jnp.linalg.inv(self._plu_weight(p["invconv"]))
-        y = jnp.einsum("bhwi,oi->bhwo", y, w_inv)
-        return y / p["actnorm"]["s"] - p["actnorm"]["b"]
+        y = self._plu_solve(p["invconv"], y)
+        y = y / p["actnorm"]["s"] - p["actnorm"]["b"]
+        return self._rev_guard(y)
+
+    @staticmethod
+    def _plu_solve(p, y):
+        """x = W^{-1} y for W = P L U, via exact permutation + two
+        triangular solves instead of the reference's explicit
+        ``torch.linalg.inv`` (nf_code.py:186). Forming W^{-1} in f32
+        squares W's condition number; the solves keep half-trained flows
+        finite at f32 (BASELINE.md Glow numerics note)."""
+        c = p["L"].shape[0]
+        dt = p["L"].dtype                          # f32, or f64 under x64
+        eye = jnp.eye(c, dtype=dt)
+        P = jax.lax.stop_gradient(p["P"]).astype(dt)
+        s_sign = jax.lax.stop_gradient(p["s_sign"]).astype(dt)
+        L = p["L"] * jnp.tril(jnp.ones((c, c), dt), -1) + eye
+        U = (p["U"] * jnp.triu(jnp.ones((c, c), dt), 1)
+             + jnp.diag(s_sign * jnp.exp(p["log_s"])))
+        b, h, w, _ = y.shape
+        yf = y.reshape(-1, c).T.astype(dt)         # (c, N) per-pixel vectors
+        # P is a permutation: P^T y is an exact gather (HIGHEST precision so
+        # the MXU does not bf16-truncate the values being permuted)
+        t = jnp.matmul(P.T, yf, precision=jax.lax.Precision.HIGHEST)
+        t = jax.scipy.linalg.solve_triangular(L, t, lower=True,
+                                              unit_diagonal=True)
+        t = jax.scipy.linalg.solve_triangular(U, t, lower=False)
+        return t.T.reshape(b, h, w, c)
 
     # -- block --------------------------------------------------------------
     def _squeeze(self, x):
@@ -311,7 +352,8 @@ class Glow:
         def body(carry, flow_p):
             return self._flow_rev(flow_p, carry), None
 
-        x, _ = jax.lax.scan(body, x, p["flows"], reverse=True)
+        x, _ = jax.lax.scan(body, self._rev_guard(x), p["flows"],
+                            reverse=True)
         return self._unsqueeze(x)
 
     # -- model --------------------------------------------------------------
