@@ -204,6 +204,16 @@ def test_run_glow_eeg_smoke(tmp_path):
     _finite_rows(out["log"])
     assert glob.glob(str(tmp_path / "sample" / "fake_eeg_mi_*.npz"))
     assert glob.glob(str(tmp_path / "sample" / "fake_eeg_mi_*.png"))
+    # post-training PSD comparison + training-evolution GIF
+    # (test_eegglow.py:12-46)
+    assert os.path.exists(tmp_path / "psd_comparison_mi.jpg")
+    assert os.path.exists(tmp_path / "training_evolution_mi.gif")
+
+    # standalone driver via the CLI (restores the checkpoint)
+    rc = cli.main(["eval-eeg", "--out-dir", str(tmp_path), "--n-fake", "8",
+                   "--flows", "2", "--blocks", "2", "--filter-size", "8",
+                   "--batch-size", "4"])
+    assert rc == 0
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,18 @@ def main(argv=None):
             p.add_argument("--timesteps", type=int, default=1000)
             p.add_argument("--no-attn", action="store_true")
 
+    p = sub.add_parser("eval-eeg", help="real-vs-fake PSD comparison + "
+                       "training-evolution GIF (test_eegglow.py:12-46)")
+    _add_common(p)
+    p.add_argument("--event-type", default="mi",
+                   choices=["mi", "baseline"])
+    p.add_argument("--eeg-path", type=str, default=None)
+    p.add_argument("--n-fake", type=int, default=64)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--flows", type=int, default=None)
+    p.add_argument("--blocks", type=int, default=None)
+    p.add_argument("--filter-size", type=int, default=None)
+
     p = sub.add_parser("sample", help="sample grid from a trained "
                        "checkpoint")
     _add_common(p)
@@ -276,6 +288,17 @@ def main(argv=None):
         res = L.evaluate_diffusion_from_dir(cfg, feature_fn=feature_fn,
                                             max_batches=a.max_batches,
                                             step=a.step)
+        print(json.dumps(res))
+    elif a.cmd == "eval-eeg":
+        cfg = C.GlowEEGConfig(
+            event_type=a.event_type, eeg_path=a.eeg_path,
+            **({"n_flows": a.flows} if a.flows else {}),
+            **({"n_blocks": a.blocks} if a.blocks else {}),
+            **({"filter_size": a.filter_size} if a.filter_size else {}))
+        cfg = dataclasses.replace(
+            cfg, run=_run_cfg(cfg.run, a, "runs/glow_eeg"),
+            **({"batch_size": a.batch_size} if a.batch_size else {}))
+        res = L.eeg_psd_and_gif(cfg, n_fake=a.n_fake, step=a.step)
         print(json.dumps(res))
     elif a.cmd == "sample":
         cfg = _sample_cfg(a)

@@ -500,7 +500,77 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
         ckpt.save(n_iter, state, key, wait=True)
     _epoch_metrics_header(log, cfg.run.out_dir, f"eeg_{cfg.event_type}_")
     ckpt.close()
+    # post-training artifacts (test_eegglow.py:12-46): real-vs-fake PSD
+    # comparison + training-evolution GIF from the per-iteration trace PNGs
+    try:
+        eeg_psd_and_gif(cfg, state=state, trainer=trainer, dataset=ds)
+    except Exception as e:   # artifacts must not kill a finished run
+        print(f"[glow-eeg] post-training artifacts failed: {e}")
     return {"state": state, "log": log.history, "trainer": trainer}
+
+
+def eeg_psd_and_gif(cfg: GlowEEGConfig, state=None, trainer=None,
+                    dataset=None, n_fake: int = 64,
+                    step: Optional[int] = None) -> Dict[str, str]:
+    """Real-vs-fake PSD comparison figure + training-evolution GIF
+    (test_eegglow.py:12-46: welch PSD overlay of real and generated trials,
+    and the GIF assembled from the per-iteration sample plots). Restores
+    the latest checkpoint when no state is given. Returns artifact paths."""
+    import glob as _g
+
+    from vgd_tpu.eval.eeg_downstream import mean_central_psd
+    from vgd_tpu.utils.viz import save_gif
+
+    key = seed_all(cfg.run.seed)
+    if trainer is None or state is None:
+        from vgd_tpu.train.glow import GlowEEGTrainer
+        trainer = GlowEEGTrainer(cfg)
+        template = trainer.init(key, cfg.batch_size)
+        ckpt = Checkpointer(os.path.join(cfg.run.out_dir,
+                                         f"ckpt_{cfg.event_type}"))
+        state, _, s = ckpt.restore(template, step=step)
+        print(f"[eval-eeg] restored checkpoint step {s}")
+    if dataset is None:
+        dataset = EEGDataset(path=cfg.eeg_path, dataset_type="T",
+                             event_type=cfg.event_type, seed=cfg.run.seed)
+
+    z = trainer.sample_z(jax.random.fold_in(key, 3), n_fake)
+    fakes = trainer.reverse(state, z)                  # (N, T, 1, C)
+    fake = np.asarray(fakes)[:, :, 0, :].transpose(0, 2, 1)  # (N, C, T)
+    finite = np.isfinite(fake).all(axis=(1, 2))
+    fake = fake[finite]
+    real = dataset.as_ncT()
+
+    fx_r, psd_r = mean_central_psd(real)
+    fx_f, psd_f = mean_central_psd(fake)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.semilogy(fx_r, psd_r, label=f"real (n={len(real)})")
+    ax.semilogy(fx_f, psd_f, label=f"generated (n={len(fake)})")
+    ax.set_xlabel("frequency [Hz]")
+    ax.set_ylabel("PSD")
+    ax.set_title(f"central-channel PSD, event '{cfg.event_type}'")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    psd_path = os.path.join(cfg.run.out_dir,
+                            f"psd_comparison_{cfg.event_type}.jpg")
+    fig.savefig(psd_path, bbox_inches="tight", dpi=90)
+    plt.close(fig)
+
+    frames = sorted(
+        _g.glob(os.path.join(cfg.run.out_dir, "sample",
+                             f"fake_eeg_{cfg.event_type}_training_*.png")),
+        key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    gif_path = os.path.join(cfg.run.out_dir,
+                            f"training_evolution_{cfg.event_type}.gif")
+    if frames:
+        save_gif(frames, gif_path)
+    else:
+        gif_path = ""
+    print(f"[eval-eeg] psd={psd_path} gif={gif_path or '(no frames)'}")
+    return {"psd": psd_path, "gif": gif_path}
 
 
 # ---------------------------------------------------------------------------
