@@ -51,6 +51,20 @@ def test_run_vaegan_smoke_and_resume(tmp_path):
     assert out2["log"][0]["epoch"] == 1
 
 
+def test_run_vaegan_streaming_epoch_scan(tmp_path, monkeypatch):
+    """The scan path streams fixed-size chunks (no whole-epoch host stack):
+    force 1-step chunks so one epoch = several compiled scans + staging."""
+    monkeypatch.setattr(L, "SCAN_CHUNK_BYTES", 1)   # -> chunk_steps == 1
+    cfg = VAEGANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=4, dataset_size=16),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32"),
+        epochs=1)
+    out = L.run_vaegan(cfg, max_steps_per_epoch=3, epoch_scan=True)
+    _finite_rows(out["log"])
+    row = out["log"][0]
+    assert row["train_recon"] > 0 and np.isfinite(row["train_recon"])
+
+
 # ---------------------------------------------------------------------------
 # VAE driver with occlusion + both eval paths + sample, via the CLI
 # ---------------------------------------------------------------------------

@@ -88,6 +88,21 @@ def _epoch_metrics_header(log, out_dir, prefix=""):
     log.save()
 
 
+# streaming epoch scan: host-stage at most this many bytes of uint8 batches
+# per compiled scan chunk (one chunk in flight + one being staged, so peak
+# extra host memory is ~2 chunks instead of a full second copy of the epoch)
+SCAN_CHUNK_BYTES = 256 * 1024 ** 2
+
+
+def _stack_next(batch_iter, n: int):
+    """Stack up to n batches from the iterator; None when exhausted."""
+    import itertools
+    buf = list(itertools.islice(batch_iter, n))
+    if not buf:
+        return None
+    return np.stack(buf)
+
+
 # ---------------------------------------------------------------------------
 # VAE-GAN (vaegan_code.py:18-219)
 # ---------------------------------------------------------------------------
@@ -120,26 +135,43 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
     steps_per_epoch = len(train)
     if max_steps_per_epoch is not None:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
-    epoch_bytes = steps_per_epoch * cfg.data.batch_size * \
-        int(np.prod(img_shape))
     if epoch_scan is None:
-        epoch_scan = epoch_bytes <= 2 * 1024 ** 3
+        epoch_scan = True   # streaming chunks: no epoch-size gate needed
+
+    batch_bytes = cfg.data.batch_size * int(np.prod(img_shape))
+    chunk_steps = max(1, min(steps_per_epoch,
+                             SCAN_CHUNK_BYTES // max(batch_bytes, 1)))
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
         ramp = jnp.float32(trainer.kl_ramp(epoch))
         sums, count, n_sampled, t0 = {}, 0, 0, time.perf_counter()
         if epoch_scan:
-            # ONE compiled program scans the whole epoch on device
-            stacked = np.stack([b for b, _ in train.epoch()]
-                               [:steps_per_epoch])
-            state, m = trainer.train_epoch(state, jnp.asarray(stacked),
-                                           jax.random.fold_in(key, epoch),
-                                           ramp)
-            count = gstep_inc = stacked.shape[0]
-            gstep += gstep_inc
-            n_sampled = 1
-            sums = {k: float(v) for k, v in m.items()}
+            # Streaming epoch scan: compiled scans over fixed-size chunks of
+            # stacked batches, staging chunk i+1 on host while the device
+            # runs chunk i. At most two compiled shapes (chunk + remainder);
+            # peak extra host memory is ~2 chunks, so the device-resident
+            # path works on datasets larger than host RAM headroom.
+            it = (b for b, _ in train.epoch())
+            staged = _stack_next(it, min(chunk_steps, steps_per_epoch))
+            chunk_metrics = []
+            while staged is not None:
+                cur = jnp.asarray(staged)
+                n = cur.shape[0]
+                state, m = trainer.train_epoch(
+                    state, cur,
+                    jax.random.fold_in(key, epoch * 1_000_003 + count),
+                    ramp)
+                count += n
+                gstep += n
+                nxt = min(chunk_steps, steps_per_epoch - count)
+                staged = _stack_next(it, nxt) if nxt > 0 else None
+                chunk_metrics.append((n, m))   # fetch AFTER the loop —
+                # fetching here would sync and kill the staging overlap
+            for n, m in chunk_metrics:
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v) * n
+            n_sampled = count
         else:
             batches = device_prefetch((b for b, _ in train.epoch()), size=2)
             for i, batch in enumerate(batches):
