@@ -91,3 +91,51 @@ def test_fused_unet_matches_stock_unet():
     y1 = fused.apply(variables, x, t)   # same tree must be accepted
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_attention_vjp_gradients_match_xla():
+    """The custom-VJP flash kernels (training path) must reproduce XLA's
+    gradients for q, k, v — interpret mode so this runs on CPU."""
+    from vgd_tpu.ops.pallas_kernels import attention
+
+    rng = np.random.default_rng(0)
+    b, n, m, d = 2, 256, 256, 32
+    q = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, m, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, m, d)).astype(np.float32))
+
+    def loss_p(q, k, v):
+        o = attention(q, k, v, block_q=128, block_kv=128, force="pallas",
+                      interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_x(q, k, v):
+        return jnp.sum(jnp.sin(attention_xla(q, k, v)))
+
+    o_p = attention(q, k, v, block_q=128, block_kv=128, force="pallas",
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(o_p),
+                               np.asarray(attention_xla(q, k, v)),
+                               rtol=1e-5, atol=1e-5)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_attention_dispatcher_small_shapes_use_xla():
+    """Sub-threshold token counts (and CPU backends) must silently take the
+    XLA form — gradients flow through stock autodiff."""
+    from vgd_tpu.ops.pallas_kernels import attention
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+    out = attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(attention_xla(q, k, v)),
+                               rtol=1e-6, atol=1e-6)
+    g = jax.grad(lambda q: jnp.sum(attention(q, k, v)))(q)
+    assert np.isfinite(np.asarray(g)).all()

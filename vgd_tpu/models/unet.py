@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vgd_tpu.ops.pallas_kernels import (attention_xla, flash_attention,
+from vgd_tpu.ops.pallas_kernels import (attention, flash_attention,
                                         groupnorm_silu, groupnorm_silu_xla)
 
 F32 = jnp.float32
@@ -105,7 +105,10 @@ class AttentionBlock(nn.Module):
         qkv = nn.Conv(c * 3, (1, 1), dtype=self.dtype, name="qkv")(
             h.astype(self.dtype))
         q, k, v = jnp.split(qkv.reshape(b, hh * ww, 3 * c), 3, axis=-1)
-        attend = flash_attention if self.fused else attention_xla
+        # training path: ops.attention dispatches to the Pallas flash
+        # kernels WITH custom VJP on TPU at large token counts (the
+        # reference materialises the (HW)^2 matrix, diffusion_model.py:52-60)
+        attend = flash_attention if self.fused else attention
         out = attend(q.astype(F32), k.astype(F32), v.astype(F32),
                      scale=1.0 / math.sqrt(c))
         out = out.reshape(b, hh, ww, c)
@@ -135,7 +138,9 @@ class CrossAttentionToGlobalTokens(nn.Module):
             jnp.broadcast_to(tokens, (b, self.num_tokens, self.token_dim))
             .astype(self.dtype))
         k, v = jnp.split(kv, 2, axis=-1)
-        attend = flash_attention if self.fused else attention_xla
+        # 64 kv tokens — ops.attention's size heuristic keeps this on the
+        # XLA form during training; fused inference uses the flash kernel
+        attend = flash_attention if self.fused else attention
         h = attend(q.astype(F32), k.astype(F32), v.astype(F32),
                    scale=1.0 / math.sqrt(self.token_dim))
         h = nn.Dense(c, dtype=self.dtype, name="proj")(h.astype(self.dtype))
