@@ -59,6 +59,9 @@ def _add_common(p):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile-dir", type=str, default=None)
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--fused-conv", action="store_true",
+                   help="Pallas fused conv+BN+LeakyReLU train path "
+                   "(encoder/discriminator stacks)")
 
 
 def _add_fid(p):
@@ -90,6 +93,8 @@ def _run_cfg(base: C.RunConfig, a, default_out: str) -> C.RunConfig:
         kw["profile_dir"] = a.profile_dir
     if a.debug_nans:
         kw["debug_nans"] = True
+    if getattr(a, "fused_conv", False):
+        kw["fused_conv"] = True
     return dataclasses.replace(base, **kw)
 
 

@@ -59,6 +59,9 @@ class RunConfig:
     keep_checkpoints: int = 3
     compute_dtype: str = "bfloat16"      # conv/matmul compute dtype
     param_dtype: str = "float32"
+    # Pallas fused conv+BN+LeakyReLU in encoder/discriminator train paths
+    # (ops/fused_conv.py); default follows benchmarks/kernel_bench.py
+    fused_conv: bool = False
     mesh: MeshConfig = field(default_factory=MeshConfig)
     # observability (SURVEY.md §5): jax.profiler trace of a step window, and
     # NaN debugging (the TPU-side counterpart of cudnn.deterministic flags)

@@ -84,6 +84,7 @@ class Discriminator(nn.Module):
     nc: int = 3
     use_sigmoid: bool = True   # the reference keeps sigmoid even for WGAN
     dtype: Dtype = jnp.float32
+    fused: bool = False   # Pallas fused conv+BN+LeakyReLU on the train path
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_features: bool = False):
@@ -92,6 +93,22 @@ class Discriminator(nn.Module):
         feat = None
         for i in range(n_down):
             ch = (self.ndf // 4) << i
+            if self.fused and train and i > 0:
+                from vgd_tpu.models.blocks import BNParams, ConvParams
+                from vgd_tpu.ops.fused_conv import conv_bn_lrelu
+                kernel, _ = ConvParams(ch, h.shape[-1], use_bias=False,
+                                       kernel_init=dcgan_conv_init,
+                                       name=f"down{i}")()
+                bn = BNParams(ch, scale_init=dcgan_bn_scale_init,
+                              name=f"bn{i}")
+                scale, bbias, _, _ = bn()
+                y, m, v = conv_bn_lrelu(h, kernel.astype(self.dtype),
+                                        scale, bbias, padding=1,
+                                        slope=0.2, eps=1e-5)
+                bn(m, v)   # running-stat momentum update
+                h = y.astype(self.dtype)
+                feat = h  # penultimate activation = Dis_l feature map
+                continue
             h = nn.Conv(ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype,
                         kernel_init=dcgan_conv_init, name=f"down{i}")(h)

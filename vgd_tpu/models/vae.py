@@ -22,12 +22,26 @@ class Encoder(nn.Module):
     latent_dim: int = 100
     channels: Sequence[int] = (32, 64, 128, 256)  # main_vae.py:37
     dtype: Dtype = jnp.float32
+    fused: bool = False   # Pallas fused conv+BN+LeakyReLU on the train path
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple[jax.Array, jax.Array]:
         h = x.astype(self.dtype)
         for i, ch in enumerate(self.channels):
             # torch Conv2d(k=4, s=2) default padding=0 => VALID (main_vae.py:23)
+            if self.fused and train:
+                from vgd_tpu.models.blocks import BNParams, ConvParams
+                from vgd_tpu.ops.fused_conv import conv_bn_lrelu
+                kernel, cbias = ConvParams(ch, h.shape[-1],
+                                           name=f"conv{i}")()
+                bn = BNParams(ch, name=f"bn{i}")
+                scale, bbias, _, _ = bn()
+                y, m, v = conv_bn_lrelu(h, kernel.astype(self.dtype),
+                                        scale, bbias, bias=cbias,
+                                        padding=0, slope=0.01, eps=1e-5)
+                bn(m, v)   # running-stat momentum update
+                h = y.astype(self.dtype)
+                continue
             h = nn.Conv(ch, (4, 4), strides=(2, 2), padding="VALID",
                         use_bias=True, dtype=self.dtype, name=f"conv{i}")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,

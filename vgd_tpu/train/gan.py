@@ -43,7 +43,8 @@ class GANTrainer:
         dtype = jnp.dtype(cfg.run.compute_dtype)
         self.gen = Generator(img_size=h, nz=cfg.latent_dim, ngf=cfg.ngf,
                              nc=c, dtype=dtype)
-        self.disc = Discriminator(img_size=h, ndf=cfg.ndf, nc=c, dtype=dtype)
+        self.disc = Discriminator(img_size=h, ndf=cfg.ndf, nc=c, dtype=dtype,
+                                  fused=cfg.run.fused_conv)
         self.tx_g = adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
         self.tx_d = adam(cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
         self.img_shape = img_shape

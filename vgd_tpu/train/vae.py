@@ -40,7 +40,8 @@ class VAETrainer:
         self.cfg = cfg
         h, w, c = img_shape
         dtype = jnp.dtype(cfg.run.compute_dtype)
-        self.encoder = Encoder(latent_dim=cfg.latent_dim, dtype=dtype)
+        self.encoder = Encoder(latent_dim=cfg.latent_dim, dtype=dtype,
+                               fused=cfg.run.fused_conv)
         self.decoder = Generator(img_size=h, nz=cfg.latent_dim, ngf=cfg.ngf,
                                  nc=c, dtype=dtype)
         # One joint optimizer over (encoder, decoder) — main_vae.py:84-87.

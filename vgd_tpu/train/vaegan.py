@@ -53,10 +53,12 @@ class VAEGANTrainer:
         h, w, c = img_shape
         assert h == w, "square images expected"
         dtype = jnp.dtype(cfg.run.compute_dtype)
-        self.encoder = Encoder(latent_dim=cfg.latent_dim, dtype=dtype)
+        self.encoder = Encoder(latent_dim=cfg.latent_dim, dtype=dtype,
+                               fused=cfg.run.fused_conv)
         self.decoder = Generator(img_size=h, nz=cfg.latent_dim, ngf=cfg.ngf,
                                  nc=c, dtype=dtype)
-        self.disc = Discriminator(img_size=h, ndf=cfg.ndf, nc=c, dtype=dtype)
+        self.disc = Discriminator(img_size=h, ndf=cfg.ndf, nc=c, dtype=dtype,
+                                  fused=cfg.run.fused_conv)
         self.tx_e = adam(cfg.lr)
         self.tx_d = adam(cfg.lr)
         self.tx_dis = adam(cfg.lr)
