@@ -42,7 +42,9 @@ def main():
     cfg = VAEGANConfig(data=DataConfig(image_size=(img, img),
                                        batch_size=batch_size))
     trainer = VAEGANTrainer(cfg, (img, img, 3))
-    key = jax.random.key(42)
+    # rbg PRNG keys: the RunConfig.prng_impl default (7.9% faster than
+    # threefry on this step, BASELINE.md; deterministic per seed either way)
+    key = jax.random.key(42, impl=cfg.run.prng_impl)
     state = trainer.init(key, batch_size)
 
     data = synthetic_faces(steps * batch_size, (img, img), seed=0)

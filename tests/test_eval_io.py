@@ -123,3 +123,29 @@ def test_checkpoint_roundtrip(tmp_path):
     ck.manager.wait_until_finished()
     assert ck.latest_step() == 3
     ck.close()
+
+
+def test_checkpoint_roundtrip_rbg_key(tmp_path):
+    """RunConfig.prng_impl='rbg' keys (4x uint32 key data) survive the
+    save/restore cycle and reproduce the same random stream."""
+    key = jax.random.key(7, impl="rbg")
+    state = {"w": jnp.arange(2.0)}
+    ck = Checkpointer(str(tmp_path / "ckr"), keep=1)
+    ck.save(1, state, key, wait=True)
+    _, rkey, _ = ck.restore({"w": jnp.zeros(2)}, key_impl="rbg")
+    assert rkey is not None
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rkey)),
+                                  np.asarray(jax.random.key_data(key)))
+    a = jax.random.normal(jax.random.fold_in(key, 3), (8,))
+    b = jax.random.normal(jax.random.fold_in(rkey, 3), (8,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ck.close()
+
+
+def test_seed_all_rbg_deterministic():
+    from vgd_tpu.core.rng import seed_all
+    k1 = seed_all(42, impl="rbg")
+    k2 = seed_all(42, impl="rbg")
+    a = jax.random.normal(k1, (16,))
+    b = jax.random.normal(k2, (16,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -59,6 +59,11 @@ class RunConfig:
     keep_checkpoints: int = 3
     compute_dtype: str = "bfloat16"      # conv/matmul compute dtype
     param_dtype: str = "float32"
+    # PRNG family for training-loop keys: "rbg" (XLA RngBitGenerator) is
+    # 7.9% faster on the flagship step than jax's threefry default
+    # (4.48 vs 4.83 ms, BASELINE.md) and equally deterministic per seed;
+    # "threefry2x32" reproduces the library-default stream.
+    prng_impl: str = "rbg"
     # Pallas fused conv+BN+LeakyReLU in encoder/discriminator train paths
     # (ops/fused_conv.py); default follows benchmarks/kernel_bench.py
     fused_conv: bool = False

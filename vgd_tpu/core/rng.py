@@ -17,14 +17,20 @@ import numpy as np
 DEFAULT_SEED = 42
 
 
-def seed_all(seed: int = DEFAULT_SEED) -> jax.Array:
+def seed_all(seed: int = DEFAULT_SEED, impl: str = None) -> jax.Array:
     """Seed host-side RNGs (numpy / python, used only by data loaders and
     offline eval) and return the root JAX PRNG key for device-side randomness.
+
+    ``impl`` selects the key's PRNG family: None/"threefry2x32" (jax default,
+    used by the golden tests) or "rbg" (XLA RngBitGenerator — measured 7.9%
+    faster on the flagship VAE-GAN step on TPU v5e, BASELINE.md; the training
+    loops pass ``RunConfig.prng_impl``). Both are deterministic per seed;
+    they produce different (equally valid) random streams.
     """
     os.environ["PYTHONHASHSEED"] = str(seed)
     _pyrandom.seed(seed)
     np.random.seed(seed)
-    return jax.random.key(seed)
+    return jax.random.key(seed, impl=impl) if impl else jax.random.key(seed)
 
 
 def fold(key: jax.Array, *data: int) -> jax.Array:

@@ -39,24 +39,36 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def restore(self, state_template: Any, step: Optional[int] = None
+    def restore(self, state_template: Any, step: Optional[int] = None,
+                key_impl: Optional[str] = None
                 ) -> Tuple[Any, Optional[jax.Array], int]:
         """Restore (state, rng_key, step). ``state_template`` is a state with
-        the right structure (e.g. a freshly init'ed one)."""
+        the right structure (e.g. a freshly init'ed one). ``key_impl`` names
+        the PRNG family of the saved key (RunConfig.prng_impl); key_data
+        shape and wrapping are impl-specific (threefry (2,) vs rbg (4,))."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        template = {"state": state_template,
-                    "rng_key": jax.random.key_data(jax.random.key(0))}
-        try:
-            restored = self.manager.restore(
-                step, args=ocp.args.StandardRestore(template))
-            key = jax.random.wrap_key_data(restored["rng_key"])
-        except Exception:
-            restored = self.manager.restore(
-                step, args=ocp.args.StandardRestore({"state": state_template}))
-            key = None
-        return restored["state"], key, step
+        # try the requested impl first, then the other family (key_data
+        # shapes differ: threefry (2,) vs rbg (4,) uint32), then keyless
+        # (checkpoints saved without an RNG key)
+        impls = [key_impl, "rbg" if key_impl != "rbg" else None]
+        for impl in impls:
+            ref_key = (jax.random.key(0, impl=impl) if impl
+                       else jax.random.key(0))
+            template = {"state": state_template,
+                        "rng_key": jax.random.key_data(ref_key)}
+            try:
+                restored = self.manager.restore(
+                    step, args=ocp.args.StandardRestore(template))
+                key = jax.random.wrap_key_data(restored["rng_key"],
+                                               impl=impl)
+                return restored["state"], key, step
+            except Exception:
+                continue
+        restored = self.manager.restore(
+            step, args=ocp.args.StandardRestore({"state": state_template}))
+        return restored["state"], None, step
 
     def close(self):
         self.manager.wait_until_finished()

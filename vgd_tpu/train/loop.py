@@ -79,7 +79,7 @@ def _setup(cfg_run):
     except Exception:
         pass
     os.makedirs(cfg_run.out_dir, exist_ok=True)
-    return seed_all(cfg_run.seed)
+    return seed_all(cfg_run.seed, impl=getattr(cfg_run, "prng_impl", None))
 
 
 def _epoch_metrics_header(log, out_dir, prefix=""):
@@ -124,7 +124,8 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
                         keep=cfg.run.keep_checkpoints)
     start_epoch = 0
     if resume and ckpt.latest_step() is not None:
-        state, rkey, start_epoch = ckpt.restore(state)
+        state, rkey, start_epoch = ckpt.restore(
+            state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
     log = MetricLog(cfg.run.out_dir)
     prof = _Profiler(cfg.run)
@@ -253,7 +254,8 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
                         keep=cfg.run.keep_checkpoints)
     start_epoch = 0
     if resume and ckpt.latest_step() is not None:
-        state, rkey, start_epoch = ckpt.restore(state)
+        state, rkey, start_epoch = ckpt.restore(
+            state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
     log = MetricLog(cfg.run.out_dir, "vae_loss")
     prof = _Profiler(cfg.run)
@@ -334,7 +336,8 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
                         keep=cfg.run.keep_checkpoints)
     start_epoch = 0
     if resume and ckpt.latest_step() is not None:
-        state, rkey, start_epoch = ckpt.restore(state)
+        state, rkey, start_epoch = ckpt.restore(
+            state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
     log = MetricLog(cfg.run.out_dir, "gan_loss")
     prof = _Profiler(cfg.run)
@@ -431,7 +434,8 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
     batches = iter(train)
     start = 0
     if resume and ckpt.latest_step() is not None:
-        state, rkey, start = ckpt.restore(state)
+        state, rkey, start = ckpt.restore(state,
+                                           key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
     if start == 0:
         # data-dependent ActNorm init on the first batch (nf_code.py:589-594)
@@ -502,7 +506,8 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
 
     start = 0
     if resume and ckpt.latest_step() is not None:
-        state, rkey, start = ckpt.restore(state)
+        state, rkey, start = ckpt.restore(state,
+                                           key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
     if start == 0:
         state = trainer.init_step(state, jnp.asarray(next(batches)), key)
@@ -622,7 +627,8 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
                         keep=cfg.run.keep_checkpoints)
     start_epoch = 0
     if resume and ckpt.latest_step() is not None:
-        state, rkey, start_epoch = ckpt.restore(state)
+        state, rkey, start_epoch = ckpt.restore(
+            state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
     log = MetricLog(cfg.run.out_dir, "diffusion_loss")
     prof = _Profiler(cfg.run)
