@@ -62,6 +62,10 @@ def _add_common(p):
     p.add_argument("--fused-conv", action="store_true",
                    help="Pallas fused conv+BN+LeakyReLU train path "
                    "(encoder/discriminator stacks)")
+    p.add_argument("--prng-impl", type=str, default=None,
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG key family for the training loop (default "
+                   "rbg: +7.9%% step time vs threefry, BASELINE.md)")
 
 
 def _add_fid(p):
@@ -95,6 +99,8 @@ def _run_cfg(base: C.RunConfig, a, default_out: str) -> C.RunConfig:
         kw["debug_nans"] = True
     if getattr(a, "fused_conv", False):
         kw["fused_conv"] = True
+    if getattr(a, "prng_impl", None):
+        kw["prng_impl"] = a.prng_impl
     return dataclasses.replace(base, **kw)
 
 
