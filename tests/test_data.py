@@ -77,3 +77,89 @@ def test_corrupt_jit_compatible():
     fn = jax.jit(lambda k, x: corrupt(k, x, 0.25, occlusion=True))
     out = fn(key, img)
     assert out.shape == img.shape
+
+
+# ---------------------------------------------------------------------------
+# Real-file paths: JPEG folder decode cache (dataset_code.py:26-30 semantics)
+# and BCI-IV-2a npz trial extraction (flow_eeg.py:18-39 semantics), driven
+# against actual files written to disk.
+# ---------------------------------------------------------------------------
+
+def _write_jpegs(folder, n=10):
+    from PIL import Image
+    folder.mkdir(parents=True, exist_ok=True)
+    faces = synthetic_faces(n - 2, (80, 80), seed=3)
+    for i, img in enumerate(faces):
+        Image.fromarray(img).save(str(folder / f"{i:03d}.jpg"), quality=92)
+    # one solid-colour square (decode value check survives JPEG loss)
+    solid = np.full((64, 64, 3), (200, 40, 90), np.uint8)
+    Image.fromarray(solid).save(str(folder / "solid.jpg"), quality=95)
+    # one rectangular image: left half red, right half blue (crop check)
+    rect = np.zeros((64, 128, 3), np.uint8)
+    rect[:, :64, 0] = 255
+    rect[:, 64:, 2] = 255
+    Image.fromarray(rect).save(str(folder / "rect.jpg"), quality=95)
+
+
+def test_jpeg_folder_decode_cache(tmp_path):
+    folder = tmp_path / "imgs"
+    _write_jpegs(folder)
+    cfg = DataConfig(path=str(folder), image_size=(32, 32), batch_size=4)
+    train, val, shape = make_image_datasets(cfg, seed=0)
+    assert shape == (32, 32, 3)
+    assert train.num_examples + val.num_examples == 10
+    batch, n_valid = next(iter(val.epoch()))
+    assert batch.dtype == np.uint8 and batch.shape[1:] == (32, 32, 3)
+    # a cache memmap was produced next to the images
+    caches = list(folder.glob(".vgd_cache_32x32_*.npy"))
+    assert len(caches) == 1
+    # second construction reuses the cache (no new files, same result)
+    train2, val2, _ = make_image_datasets(cfg, seed=0)
+    assert len(list(folder.glob(".vgd_cache_32x32_*.npy"))) == 1
+    b2, _ = next(iter(val2.epoch()))
+    np.testing.assert_array_equal(batch, b2)
+
+
+def test_jpeg_decode_values_and_centercrop(tmp_path):
+    from vgd_tpu.data.celeba import _decode_folder
+    folder = tmp_path / "imgs"
+    _write_jpegs(folder)
+    arr = np.asarray(_decode_folder(str(folder), (32, 32), None))
+    names = sorted(p.name for p in folder.glob("*.jpg"))
+    rect_i, solid_i = names.index("rect.jpg"), names.index("solid.jpg")
+    # solid colour survives decode+resize within JPEG tolerance
+    med = np.median(arr[solid_i].reshape(-1, 3), axis=0)
+    np.testing.assert_allclose(med, [200, 40, 90], atol=6)
+    # 64x128 left-red/right-blue: short side scaled to 32, centre crop 32
+    # spans the middle -> left columns red-dominant, right columns blue
+    rect = arr[rect_i].astype(np.int32)
+    assert (rect[:, :8, 0] > 150).mean() > 0.9   # red channel on the left
+    assert (rect[:, -8:, 2] > 150).mean() > 0.9  # blue channel on the right
+
+
+def test_eeg_npz_trial_extraction(tmp_path):
+    from vgd_tpu.data.eeg import EEGDataset, extract_trials
+    rng = np.random.default_rng(0)
+    s = rng.normal(0, 1, (4000, 25)).astype(np.float64)  # 25 ch, keep 22
+    # NaN inside the window starting at 2500 -> that trial is skipped
+    s[2600, 3] = np.nan
+    etyp = np.array([[769], [770], [768], [783], [771]])
+    epos = np.array([[100], [900], [1700], [2500], [3600]])  # 3600+640>4000
+    np.savez(tmp_path / "A01T.npz", s=s, etyp=etyp, epos=epos)
+
+    trials = extract_trials(np.load(tmp_path / "A01T.npz"), "mi")
+    assert len(trials) == 2            # 769, 770; 783 has NaN; 771 truncated
+    assert trials[0].shape == (22, 160)
+
+    base = extract_trials(np.load(tmp_path / "A01T.npz"), "baseline")
+    assert len(base) == 1
+
+    ds = EEGDataset(path=str(tmp_path), dataset_type="T", event_type="mi",
+                    subject="01")
+    assert ds.as_ncT().shape == (2, 22, 160)
+    assert ds.as_nhwc().shape == (2, 160, 1, 22)
+    # subject filter excludes non-matching files
+    ds_none = EEGDataset(path=str(tmp_path), dataset_type="T",
+                         event_type="mi", subject="99")
+    # no matching files -> synthetic fallback, NOT the real trials
+    assert len(ds_none) != 2 or ds_none.as_ncT().shape[0] != 2
