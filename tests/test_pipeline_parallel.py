@@ -68,3 +68,29 @@ def test_pp_single_stage_degenerates():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(ld),
                                np.full(2, float(ref_ld)), rtol=2e-5)
+
+
+def test_pp_gradients_match_sequential():
+    """The docstring's claim that autodiff flows through scan+ppermute:
+    d(loss)/d(flow params) through the pipeline equals the sequential
+    flow-scan gradient."""
+    glow, flows, xs = _setup(n_flows=4)
+    mesh = build_mesh(data=4, model=2)
+    r = jax.random.normal(jax.random.fold_in(KEY, 3), xs.shape)
+
+    def loss_seq(flows):
+        y, _ = _reference(glow, flows, xs)
+        return jnp.sum(y * r)
+
+    def loss_pp(flows):
+        y, _ = pp_flow_stack(mesh, glow, flows, xs, n_microbatches=2)
+        return jnp.sum(y * r)
+
+    g_seq = jax.grad(loss_seq)(flows)
+    g_pp = jax.jit(jax.grad(loss_pp))(flows)
+    for (ps, ls), (pp, lp) in zip(
+            jax.tree_util.tree_leaves_with_path(g_seq),
+            jax.tree_util.tree_leaves_with_path(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(ls), rtol=5e-5, atol=5e-6,
+            err_msg=jax.tree_util.keystr(ps))
