@@ -250,3 +250,41 @@ def test_run_diffusion_smoke_eval_sample(tmp_path):
         "diffusion", cfg, n=4,
         out_path=str(tmp_path / "diffusion_samples.jpg"))
     assert os.path.exists(path)
+
+
+def test_run_vaegan_data_parallel_loop(tmp_path):
+    """With 8 visible devices and a batch divisible by the data axis, the
+    production loop shards batches over the mesh (RunConfig.mesh) and keeps
+    params replicated — exercised here on the virtual CPU mesh through BOTH
+    the streaming-scan and the prefetch paths."""
+    import jax
+    assert jax.device_count() == 8
+    cfg = VAEGANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=8, dataset_size=24),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32"),
+        epochs=1)
+    out = L.run_vaegan(cfg, max_steps_per_epoch=2, epoch_scan=True)
+    _finite_rows(out["log"])
+    leaf = jax.tree_util.tree_leaves(out["state"].encoder.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    cfg2 = VAEGANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=8, dataset_size=24),
+        run=RunConfig(out_dir=str(tmp_path / "p"), compute_dtype="float32"),
+        epochs=1)
+    out2 = L.run_vaegan(cfg2, max_steps_per_epoch=2, epoch_scan=False)
+    _finite_rows(out2["log"])
+
+
+def test_run_glow_data_parallel_loop(tmp_path):
+    import jax
+    cfg = GlowConfig(
+        data=DataConfig(image_size=(16, 16), batch_size=8, dataset_size=16,
+                        normalize=False),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32",
+                      sample_every_iters=2, checkpoint_every_iters=2),
+        n_flows=2, n_blocks=2, filter_size=8, n_iter=2)
+    out = L.run_glow(cfg, n_iter=2)
+    _finite_rows(out["log"])
+    leaf = jax.tree_util.tree_leaves(out["state"].params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -82,6 +82,54 @@ def _setup(cfg_run):
     return seed_all(cfg_run.seed, impl=getattr(cfg_run, "prng_impl", None))
 
 
+def _dp_mesh(cfg_run, batch_size):
+    """Data-parallel mesh for the loop drivers (RunConfig.mesh): used when
+    more than one device is visible and the batch divides the ``data`` axis
+    evenly; otherwise the loops keep single-device semantics unchanged.
+    Params replicate; the jitted steps are written against global logical
+    shapes, so XLA inserts the gradient all-reduce and global-BatchNorm
+    collectives (SURVEY.md §2c) without step-code changes."""
+    if jax.device_count() == 1:
+        return None
+    from vgd_tpu.parallel.mesh import DATA_AXIS, build_mesh
+    try:
+        mesh = build_mesh(cfg_run.mesh.data, cfg_run.mesh.model)
+    except ValueError:
+        return None
+    if batch_size % mesh.shape[DATA_AXIS] != 0:
+        return None
+    return mesh
+
+
+def _dp_state(mesh, state):
+    """Replicate the train state across the mesh (no-op without one)."""
+    if mesh is None:
+        return state
+    from vgd_tpu.parallel.mesh import shard_tree_replicated
+    return shard_tree_replicated(mesh, state)
+
+
+def _dp_sharding(mesh, ndim=4, stacked=False):
+    """NamedSharding for batch arrays: batch axis over ``data`` (axis 1 for
+    stacked (n_steps, B, ...) epoch-scan chunks). None without a mesh."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vgd_tpu.parallel.mesh import DATA_AXIS
+    spec = (P(None, DATA_AXIS, *([None] * (ndim - 2))) if stacked
+            else P(DATA_AXIS, *([None] * (ndim - 1))))
+    return NamedSharding(mesh, spec)
+
+
+def _dp_put(mesh, ndim=4, stacked=False):
+    """arr -> device array: per-shard H2D placement under a mesh (each
+    device receives only its batch shard), plain jnp.asarray otherwise."""
+    sh = _dp_sharding(mesh, ndim, stacked)
+    if sh is None:
+        return jnp.asarray
+    return lambda arr: jax.device_put(np.asarray(arr), sh)
+
+
 def _epoch_metrics_header(log, out_dir, prefix=""):
     save_loss_curves(log.curves(), os.path.join(out_dir,
                                                 f"{prefix}losses.jpg"))
@@ -127,6 +175,8 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir)
     prof = _Profiler(cfg.run)
     fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
@@ -156,8 +206,9 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
             it = (b for b, _ in train.epoch())
             staged = _stack_next(it, min(chunk_steps, steps_per_epoch))
             chunk_metrics = []
+            put_stacked = _dp_put(mesh, ndim=5, stacked=True)
             while staged is not None:
-                cur = jnp.asarray(staged)
+                cur = put_stacked(staged)
                 n = cur.shape[0]
                 state, m = trainer.train_epoch(
                     state, cur,
@@ -174,7 +225,8 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
                     sums[k] = sums.get(k, 0.0) + float(v) * n
             n_sampled = count
         else:
-            batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+            batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                      sharding=_dp_sharding(mesh))
             for i, batch in enumerate(batches):
                 if max_steps_per_epoch is not None and \
                         i >= max_steps_per_epoch:
@@ -257,6 +309,8 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir, "vae_loss")
     prof = _Profiler(cfg.run)
     fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
@@ -268,7 +322,8 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
         ramp = jnp.float32(min(epoch / cfg.kl_warmup_epochs, 1.0))
         total, count = 0.0, 0
         t0 = time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                  sharding=_dp_sharding(mesh))
         for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -339,6 +394,8 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir, "gan_loss")
     prof = _Profiler(cfg.run)
     fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
@@ -351,7 +408,8 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
         d_sum = g_sum = 0.0
         count = 0
         t0 = time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                  sharding=_dp_sharding(mesh))
         for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -437,13 +495,16 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
         state, rkey, start = ckpt.restore(state,
                                            key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    state = _dp_state(mesh, state)
+    put = _dp_put(mesh)
     if start == 0:
         # data-dependent ActNorm init on the first batch (nf_code.py:589-594)
-        state = trainer.init_step(state, jnp.asarray(next(batches)), key)
+        state = trainer.init_step(state, put(next(batches)), key)
     t0 = time.perf_counter()
     for i in range(start, n_iter):
         prof.step(i)
-        state, m = trainer.train_step(state, jnp.asarray(next(batches)),
+        state, m = trainer.train_step(state, put(next(batches)),
                                       jax.random.fold_in(key, i))
         if (i + 1) % cfg.run.sample_every_iters == 0:
             imgs = trainer.reverse(state, z_sample)
@@ -509,10 +570,13 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
         state, rkey, start = ckpt.restore(state,
                                            key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    mesh = _dp_mesh(cfg.run, cfg.batch_size)
+    state = _dp_state(mesh, state)
+    put = _dp_put(mesh)
     if start == 0:
-        state = trainer.init_step(state, jnp.asarray(next(batches)), key)
+        state = trainer.init_step(state, put(next(batches)), key)
     for i in range(start, n_iter):
-        state, m = trainer.train_step(state, jnp.asarray(next(batches)),
+        state, m = trainer.train_step(state, put(next(batches)),
                                       jax.random.fold_in(key, i))
         if (i + 1) % cfg.run.sample_every_iters == 0:
             fakes = trainer.reverse(state, z_sample)
@@ -630,6 +694,8 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir, "diffusion_loss")
     prof = _Profiler(cfg.run)
     epochs = cfg.epochs if epochs is None else epochs
@@ -638,7 +704,8 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
     for epoch in range(start_epoch, epochs):
         total, count = 0.0, 0
         t0 = time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2)
+        batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                  sharding=_dp_sharding(mesh))
         for i, batch in enumerate(batches):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
