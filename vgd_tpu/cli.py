@@ -66,6 +66,9 @@ def _add_common(p):
                    choices=["rbg", "threefry2x32"],
                    help="PRNG key family for the training loop (default "
                    "rbg: +7.9%% step time vs threefry, BASELINE.md)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() before backend use "
+                   "(TPU pods; mesh then spans all hosts)")
 
 
 def _add_fid(p):
@@ -101,6 +104,8 @@ def _run_cfg(base: C.RunConfig, a, default_out: str) -> C.RunConfig:
         kw["fused_conv"] = True
     if getattr(a, "prng_impl", None):
         kw["prng_impl"] = a.prng_impl
+    if getattr(a, "multihost", False):
+        kw["multihost"] = True
     return dataclasses.replace(base, **kw)
 
 

@@ -64,6 +64,11 @@ class RunConfig:
     # (4.48 vs 4.83 ms, BASELINE.md) and equally deterministic per seed;
     # "threefry2x32" reproduces the library-default stream.
     prng_impl: str = "rbg"
+    # Multi-host: call jax.distributed.initialize() before backend use so
+    # the mesh (built from jax.devices()) spans the pod and collectives
+    # ride ICI within a slice / DCN across (SURVEY.md §2c). Auto-detects
+    # coordinator/process env on TPU pods; no-op plumbing on one host.
+    multihost: bool = False
     # Pallas fused conv+BN+LeakyReLU in encoder/discriminator train paths
     # (ops/fused_conv.py); default follows benchmarks/kernel_bench.py
     fused_conv: bool = False

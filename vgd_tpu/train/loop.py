@@ -67,6 +67,15 @@ class _Profiler:
 
 
 def _setup(cfg_run):
+    if getattr(cfg_run, "multihost", False):
+        # TPU pods: auto-detects coordinator address / process count from
+        # the pod environment; makes jax.devices() span all hosts so
+        # _dp_mesh's mesh covers the slice with no further changes.
+        import jax.distributed
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialised / single host
+            print(f"[setup] jax.distributed.initialize skipped: {e}")
     if cfg_run.debug_nans:
         jax.config.update("jax_debug_nans", True)
     try:
