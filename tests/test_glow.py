@@ -243,3 +243,33 @@ def test_reverse_finite_guard_on_wild_weights():
           for s in calc_z_shapes(3, 16, 2)]
     x = model.reverse(params, zs)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_glow_remat_matches_outputs_and_grads():
+    """jax.checkpoint on the flow-scan body changes memory, not math."""
+    from vgd_tpu.models.glow import Glow
+    x = jax.random.normal(KEY, (2, 8, 8, 3)) * 0.3
+    base = Glow(in_channels=3, n_flows=3, n_blocks=2, variant="image",
+                filter_size=16)
+    rem = Glow(in_channels=3, n_flows=3, n_blocks=2, variant="image",
+               filter_size=16, remat=True)
+    params = base.init(jax.random.key(0))
+
+    lp_b, ld_b, _ = base.forward(params, x)
+    lp_r, ld_r, _ = rem.forward(params, x)
+    np.testing.assert_allclose(np.asarray(lp_r), np.asarray(lp_b),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(ld_r), float(ld_b), rtol=1e-6)
+
+    def loss(m, p):
+        lp, ld, _ = m.forward(p, x)
+        return -(jnp.mean(lp) + jnp.mean(ld))
+
+    g_b = jax.grad(lambda p: loss(base, p))(params)
+    g_r = jax.grad(lambda p: loss(rem, p))(params)
+    for (pb, lb), (pr, lr) in zip(
+            jax.tree_util.tree_leaves_with_path(g_b),
+            jax.tree_util.tree_leaves_with_path(g_r)):
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lb),
+                                   rtol=1e-4, atol=5e-7,
+                                   err_msg=jax.tree_util.keystr(pb))

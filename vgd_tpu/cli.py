@@ -124,6 +124,11 @@ def main(argv=None):
             p.add_argument("--occlusion", action="store_true",
                            help="train with occlusion-rectangle corruption "
                            "(dataset_code.py:44-56 pipeline)")
+        if name == "glow":
+            p.add_argument("--remat", action="store_true",
+                           help="jax.checkpoint the flow scan: activation "
+                           "memory O(K)->O(1), enables batch>=256 "
+                           "(~5%% step-time cost)")
         if name == "glow-eeg":
             p.add_argument("--event-type", default="mi",
                            choices=["mi", "baseline"])
@@ -241,7 +246,8 @@ def main(argv=None):
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, "runs/glow"),
             **({"n_iter": a.iters} if a.iters else {}),
-            **({"lr": a.lr} if a.lr else {}))
+            **({"lr": a.lr} if a.lr else {}),
+            **({"remat": True} if getattr(a, "remat", False) else {}))
         L.run_glow(cfg, resume=a.resume)
     elif a.cmd == "glow-eeg":
         cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)

@@ -155,6 +155,10 @@ class GlowConfig:
     lr: float = 1e-4
     temperature: float = 0.7            # nf_code.py:716
     n_samples: int = 20
+    # remat the per-flow scan body (jax.checkpoint): activation memory
+    # O(K) -> O(1) per block, enabling batch >= 256 on a 16G chip
+    # (benchmarks/glow_batch_scaling.py); +1 recompute in backward
+    remat: bool = False
 
 
 @dataclass(frozen=True)

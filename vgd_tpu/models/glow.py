@@ -172,9 +172,15 @@ class Glow:
     {"block{i}": {"flows": <stacked over K>, "prior": zeroconv}}."""
 
     def __init__(self, in_channels=3, n_flows=32, n_blocks=4,
-                 variant="image", filter_size=512, compute_dtype=F32):
+                 variant="image", filter_size=512, compute_dtype=F32,
+                 remat=False):
         self.cfg = GlowConfigBase(in_channels, n_flows, n_blocks, variant,
                                   filter_size, compute_dtype)
+        # jax.checkpoint on the per-flow scan body: activation memory drops
+        # from O(K) per block to O(1) (+1 recompute in backward) — at
+        # batch 256 the K=32 L=4 step needs 36G of HBM without it vs 15.75G
+        # available (benchmarks/glow_batch_scaling.py).
+        self.remat = remat
 
     # -- init ---------------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
@@ -318,6 +324,8 @@ class Glow:
             y, ld, stats = self._flow_fwd(flow_p, y, hw, init)
             return (y, logdet + ld), stats
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), y.dtype)),
                                           p["flows"])
         if split:

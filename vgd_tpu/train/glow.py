@@ -73,7 +73,8 @@ class GlowTrainer(_GlowTrainerBase):
         dtype = jnp.dtype(cfg.run.compute_dtype)
         self.model = Glow(in_channels=c, n_flows=cfg.n_flows,
                           n_blocks=cfg.n_blocks, variant="image",
-                          filter_size=cfg.filter_size, compute_dtype=dtype)
+                          filter_size=cfg.filter_size, compute_dtype=dtype,
+                          remat=getattr(cfg, "remat", False))
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.n_bins = 2.0 ** cfg.n_bits
