@@ -163,3 +163,28 @@ def test_eeg_npz_trial_extraction(tmp_path):
                          event_type="mi", subject="99")
     # no matching files -> synthetic fallback, NOT the real trials
     assert len(ds_none) != 2 or ds_none.as_ncT().shape[0] != 2
+
+
+def test_loader_stream_resume_equivalence():
+    """stream(k) continues exactly where an uninterrupted stream left off —
+    a resumed Glow run must not replay epoch-0 batches (VERDICT r2 weak 7)."""
+    ds = ArrayDataset(synthetic_faces(40, (8, 8)))
+    tr, _ = split_dataset(ds, 0.9, seed=42)
+    full = Loader(ds, tr, batch_size=8, shuffle=True, seed=0)
+    uninterrupted = [b.copy() for _, b in zip(range(13), iter(full))]
+    for k in (1, 4, 9):   # mid-epoch, epoch boundary (4/epoch), next epoch
+        resumed = Loader(ds, tr, batch_size=8, shuffle=True, seed=0)
+        cont = [b.copy() for _, b in zip(range(13 - k), resumed.stream(k))]
+        for a, b in zip(uninterrupted[k:], cont):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_eeg_batches_skip_equivalence():
+    from vgd_tpu.data.eeg import EEGDataset, eeg_batches
+    ds = EEGDataset(path=None, dataset_type="T", event_type="mi", seed=0)
+    ref = [b.copy() for _, b in zip(range(12), eeg_batches(ds, 16, seed=1))]
+    for k in (2, 7):
+        cont = [b.copy() for _, b in
+                zip(range(12 - k), eeg_batches(ds, 16, seed=1, skip=k))]
+        for a, b in zip(ref[k:], cont):
+            np.testing.assert_array_equal(a, b)

@@ -288,3 +288,19 @@ def test_run_glow_data_parallel_loop(tmp_path):
     _finite_rows(out["log"])
     leaf = jax.tree_util.tree_leaves(out["state"].params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_cli_wgan_defaults_reference_epochs(monkeypatch):
+    """`wgan` without --epochs uses the reference's 1500 (gan_code.py:288);
+    `gan` keeps 150; explicit --epochs wins."""
+    from vgd_tpu import cli
+    from vgd_tpu.train import loop as L
+    seen = {}
+    monkeypatch.setattr(L, "run_gan",
+                        lambda cfg, **kw: seen.update(cfg=cfg))
+    cli.main(["wgan"])
+    assert seen["cfg"].epochs == 1500 and seen["cfg"].wgan
+    cli.main(["gan"])
+    assert seen["cfg"].epochs == 150 and not seen["cfg"].wgan
+    cli.main(["wgan", "--epochs", "7"])
+    assert seen["cfg"].epochs == 7

@@ -109,3 +109,32 @@ def test_metric_accumulator_with_synthetic_features():
     assert 0 < out["ssim"] < 1
     assert out["fid"] >= 0 and np.isfinite(out["fid"])
     assert out["inception_score"] >= 1.0
+
+
+def test_metric_accumulator_padded_batch_unbiased():
+    """Padded eval batches (data/celeba.py Loader pads the last batch to a
+    static shape) must score identically to the unpadded data: metric inputs
+    are sliced to n_valid and SSIM is image-count weighted."""
+    rng = np.random.default_rng(3)
+
+    def fake_features(x_uint8):
+        flat = x_uint8.reshape(len(x_uint8), -1).astype(np.float32) / 255.0
+        return flat[:, :16], flat[:, :10]
+
+    real = jnp.asarray(rng.uniform(0, 1, (10, 16, 16, 3)), jnp.float32)
+    fake = jnp.clip(real + 0.2 * rng.normal(0, 1, real.shape)
+                    .astype(np.float32), 0, 1)
+
+    # ground truth: two uneven batches fed exactly (6 + 4)
+    acc_true = MetricAccumulator(feature_fn=fake_features)
+    acc_true.update(fake[:6], real[:6])
+    acc_true.update(fake[6:], real[6:])
+    # padded path: second batch padded to 6 by repeating the last row
+    pad = lambda x: jnp.concatenate([x, x[-1:], x[-1:]], 0)
+    acc_pad = MetricAccumulator(feature_fn=fake_features)
+    acc_pad.update(fake[:6], real[:6], n_valid=6)
+    acc_pad.update(pad(fake[6:]), pad(real[6:]), n_valid=4)
+
+    out_true, out_pad = acc_true.compute(), acc_pad.compute()
+    for k in out_true:
+        assert out_pad[k] == pytest.approx(out_true[k], rel=1e-5), k

@@ -299,3 +299,21 @@ def test_glow_import_roundtrip(tmp_path):
     x_rec = model.reverse(imported, z_outs, reconstruct=True)
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
                                rtol=1e-4, atol=1e-4)
+
+def test_module_prefix_stripped(tmp_path):
+    """DataParallel-prefixed state_dicts (the reference saves/loads Glow with
+    `module.` keys, nf_code.py:624/652-657) import identically to plain
+    ones."""
+    tg = _torch_generator_64()
+    _randomize(tg, seed=5)
+    plain, prefixed = str(tmp_path / "g.pth"), str(tmp_path / "g_dp.pth")
+    torch.save(tg.state_dict(), plain)
+    torch.save({f"module.{k}": v for k, v in tg.state_dict().items()},
+               prefixed)
+    va = import_generator(plain, n_up=4)
+    vb = import_generator(prefixed, n_up=4)
+    la = jax.tree_util.tree_leaves(va)
+    lb = jax.tree_util.tree_leaves(vb)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -65,7 +65,8 @@ def _add_common(p):
     p.add_argument("--prng-impl", type=str, default=None,
                    choices=["rbg", "threefry2x32"],
                    help="PRNG key family for the training loop (default "
-                   "rbg: +7.9%% step time vs threefry, BASELINE.md)")
+                   "rbg: +7.9%% throughput / -7%% step time vs threefry, "
+                   "BASELINE.md)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() before backend use "
                    "(TPU pods; mesh then spans all hosts)")
@@ -233,10 +234,13 @@ def main(argv=None):
                   resume=a.resume)
     elif a.cmd in ("gan", "wgan"):
         cfg = C.GANConfig(wgan=(a.cmd == "wgan"))
+        # WGAN reference scale is 1500 epochs (gan_code.py:288) vs DCGAN's
+        # 150; apply it unless the user overrides
+        epochs = a.epochs or (1500 if a.cmd == "wgan" else None)
         cfg = dataclasses.replace(
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, f"runs/{a.cmd}"),
-            **({"epochs": a.epochs} if a.epochs else {}),
+            **({"epochs": epochs} if epochs else {}),
             **({"lr": a.lr} if a.lr else {}))
         L.run_gan(cfg, max_steps_per_epoch=a.steps_per_epoch,
                   resume=a.resume)

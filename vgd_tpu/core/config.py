@@ -110,7 +110,9 @@ class GANConfig:
     data: DataConfig = field(default_factory=lambda: DataConfig(batch_size=128))
     run: RunConfig = field(default_factory=lambda: RunConfig(out_dir="runs/gan"))
     latent_dim: int = 100
-    epochs: int = 150                   # WGAN reference uses 1500 (gan_code.py:288)
+    # DCGAN scale; the CLI's `wgan` subcommand defaults to the reference's
+    # 1500 epochs (gan_code.py:288) when --epochs isn't given
+    epochs: int = 150
     lr: float = 2e-4
     beta1: float = 0.5                  # gan_code.py:180-181 Adam betas (0.5, 0.999)
     beta2: float = 0.999

@@ -172,9 +172,29 @@ class Loader:
     def __iter__(self):
         """Infinite stream of batches (iteration-driven trainers, e.g. Glow
         nf_code.py:577)."""
+        return self.stream(0)
+
+    def stream(self, start_batch: int = 0) -> Iterator[np.ndarray]:
+        """Infinite full-size batch stream starting at global batch index
+        ``start_batch`` — a resumed run sees exactly the batches an
+        uninterrupted run would have seen from that point (the skipped
+        prefix replays only the shuffle permutations, never the memmap
+        gathers, so fast-forwarding 30k iterations is O(indices) cheap)."""
+        from vgd_tpu.data import native
+        b = self.batch_size
+        per = max(len(self.indices) // b, 1)
+        self._epoch = start_batch // per
+        skip = start_batch % per
         while True:
-            for batch, _ in self.epoch():
-                yield batch
+            idx = self.indices
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self._epoch)
+                idx = rng.permutation(idx)
+            self._epoch += 1
+            for i in range(skip, len(idx) // b):
+                sel = np.sort(idx[i * b:(i + 1) * b])
+                yield native.gather_batch(self.ds.array, sel)
+            skip = 0
 
 
 def make_image_datasets(cfg: DataConfig, seed: int = 42):

@@ -125,12 +125,19 @@ class EEGDataset:
         return np.ascontiguousarray(self.dataset.transpose(0, 2, 1)[:, :, None, :])
 
 
-def eeg_batches(ds: EEGDataset, batch_size: int, seed: int = 42):
-    """Infinite shuffled batch stream of NHWC trials (drop-last)."""
+def eeg_batches(ds: EEGDataset, batch_size: int, seed: int = 42,
+                skip: int = 0):
+    """Infinite shuffled batch stream of NHWC trials (drop-last).
+
+    ``skip``: fast-forward past the first N batches (resume support) —
+    permutations are still drawn so the stream position matches an
+    uninterrupted run, but skipped batches are never materialised."""
     arr = ds.as_nhwc()
     n = len(arr)
+    per = max(n // batch_size, 1)
     rng = np.random.default_rng(seed)
     while True:
         perm = rng.permutation(n)
-        for i in range(n // batch_size):
+        start, skip = min(skip, per), max(skip - per, 0)
+        for i in range(start, n // batch_size):
             yield arr[perm[i * batch_size:(i + 1) * batch_size]]

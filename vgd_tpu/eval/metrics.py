@@ -163,10 +163,21 @@ class MetricAccumulator:
         self._feat_fake: List[np.ndarray] = []
         self._logits_fake: List[np.ndarray] = []
 
-    def update(self, fake_unit: jax.Array, real_unit: jax.Array):
-        """fake/real in [0,1] float NHWC (vaegan_code.py:170-183 path)."""
-        self._ssim_sum += float(ssim(fake_unit, real_unit))
-        self._ssim_n += 1
+    def update(self, fake_unit: jax.Array, real_unit: jax.Array,
+               n_valid: Optional[int] = None):
+        """fake/real in [0,1] float NHWC (vaegan_code.py:170-183 path).
+
+        ``n_valid``: number of non-padded rows (the eval Loader pads the last
+        batch to a static shape, data/celeba.py:166-170). Padded duplicates
+        are sliced off so they cannot bias SSIM/FID/IS — the reference scores
+        the true val set (vaegan_code.py:165-185). SSIM is weighted by image
+        count, so uneven final batches average correctly.
+        """
+        n = fake_unit.shape[0] if n_valid is None else n_valid
+        fake_unit = fake_unit[:n]
+        real_unit = real_unit[:n]
+        self._ssim_sum += float(ssim(fake_unit, real_unit)) * n
+        self._ssim_n += n
         if self.feature_fn is not None:
             fake_u8 = np.asarray(jnp.clip(fake_unit * 255, 0, 255)
                                  .astype(jnp.uint8))

@@ -20,6 +20,16 @@ import matplotlib.pyplot as plt               # noqa: E402
 from matplotlib import gridspec               # noqa: E402
 
 
+def primary_host() -> bool:
+    """True on jax process 0 (and on single-host runs). Artifact files are
+    written only by the primary host: on a multi-host pod every process runs
+    the same loop code, and unguarded writes to a shared out_dir would race /
+    duplicate. Orbax checkpoint saves are NOT gated — they must run on all
+    processes."""
+    import jax
+    return jax.process_index() == 0
+
+
 def _to_unit(img: np.ndarray) -> np.ndarray:
     """[-1,1] NHWC -> [0,1] (utils.py:16-24 equivalent)."""
     return np.clip(np.asarray(img) * 0.5 + 0.5, 0.0, 1.0)
@@ -27,6 +37,8 @@ def _to_unit(img: np.ndarray) -> np.ndarray:
 
 def save_grid(images, path: str, nrow: int = 8, signed: bool = True):
     """Square grid of samples (vaegan_code.py:212-219)."""
+    if not primary_host():
+        return
     imgs = _to_unit(images) if signed else np.clip(np.asarray(images), 0, 1)
     n = min(len(imgs), nrow * nrow)
     fig = plt.figure(figsize=(nrow * 1.2, nrow * 1.2))
@@ -42,6 +54,8 @@ def save_grid(images, path: str, nrow: int = 8, signed: bool = True):
 
 def save_triplets(noisy, clean, recon, path: str, n: int = 6):
     """noisy/clean/recon comparison rows (vaegan_code.py:197-207)."""
+    if not primary_host():
+        return
     rows = [_to_unit(x) for x in (noisy, clean, recon)]
     n = min(n, len(rows[0]))
     fig, axes = plt.subplots(3, n, figsize=(n * 1.6, 5))
@@ -57,6 +71,8 @@ def save_triplets(noisy, clean, recon, path: str, n: int = 6):
 
 def save_loss_curves(curves: Dict[str, Sequence[float]], path: str):
     """Named loss curves over epochs (gan_code.py:239-247)."""
+    if not primary_host():
+        return
     fig = plt.figure(figsize=(10, 5))
     for name, values in curves.items():
         plt.plot(values, label=name)
@@ -81,12 +97,14 @@ class MetricLog:
 
     def append(self, **metrics: float):
         row = {k: float(v) for k, v in metrics.items()}
-        self.history.append(row)
+        self.history.append(row)   # in-memory history on every host
+        if not primary_host():
+            return
         with open(os.path.join(self.out_dir, f"{self.name}.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
 
     def save(self):
-        if not self.history:
+        if not self.history or not primary_host():
             return
         keys = sorted({k for row in self.history for k in row})
         arr = np.full((len(self.history), len(keys)), np.nan)

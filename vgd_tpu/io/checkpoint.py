@@ -51,7 +51,12 @@ class Checkpointer:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         # try the requested impl first, then the other family (key_data
         # shapes differ: threefry (2,) vs rbg (4,) uint32), then keyless
-        # (checkpoints saved without an RNG key)
+        # (checkpoints saved without an RNG key). Only template-mismatch
+        # errors fall through to the next attempt — a genuinely corrupt
+        # checkpoint or a state-shape mismatch must surface, not degrade
+        # silently to a fresh RNG key (ADVICE r2).
+        mismatch = (ValueError, KeyError, TypeError)
+        attempts = []
         impls = [key_impl, "rbg" if key_impl != "rbg" else None]
         for impl in impls:
             ref_key = (jax.random.key(0, impl=impl) if impl
@@ -64,8 +69,12 @@ class Checkpointer:
                 key = jax.random.wrap_key_data(restored["rng_key"],
                                                impl=impl)
                 return restored["state"], key, step
-            except Exception:
+            except mismatch as e:
+                attempts.append(f"impl={impl}: {type(e).__name__}: {e}")
                 continue
+        print(f"[checkpoint] no RNG key matched at step {step}; resuming "
+              f"WITHOUT the saved key (fresh key stream). Attempts: "
+              + " | ".join(a.splitlines()[0][:120] for a in attempts))
         restored = self.manager.restore(
             step, args=ocp.args.StandardRestore({"state": state_template}))
         return restored["state"], None, step

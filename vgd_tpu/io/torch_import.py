@@ -25,8 +25,14 @@ import numpy as np
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in sd.items()}
+    out = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+           for k, v in sd.items()}
+    # strip nn.DataParallel's `module.` prefix: the reference saves Glow as
+    # model.module.state_dict() (nf_code.py:624) but loads whole-model dumps
+    # with `module.`-prefixed keys too (nf_code.py:652-657); accept both.
+    if out and all(k.startswith("module.") for k in out):
+        out = {k[len("module."):]: v for k, v in out.items()}
+    return out
 
 
 def conv_w(w: np.ndarray) -> np.ndarray:

@@ -250,8 +250,15 @@ def _cbl_bwd(padding, slope, eps, use_pallas, interpret, res, cts):
     pos = y > 0
     g1 = jnp.where(pos, g, g * slope)
     # x-hat recomputed from y: lrelu and the BN affine are both invertible
-    gamma_safe = jnp.where(jnp.abs(gamma) < 1e-12,
-                           jnp.where(gamma < 0, -1e-12, 1e-12), gamma)
+    # clamp at 1e-3, not epsilon: xhat is recomputed as (pre-beta)/gamma, so
+    # rounding error in `pre` is amplified by 1/|gamma| — with a 1e-12 floor
+    # a decayed BN scale makes dgamma/dx garbage. 1e-3 caps the amplification
+    # at ~1e3x (fine for f32 residuals) at the cost of biased grads only for
+    # |gamma|<1e-3, where the layer output barely depends on x anyway. The
+    # alternative (storing xhat as a residual) costs the memory this fused
+    # kernel exists to save.
+    gamma_safe = jnp.where(jnp.abs(gamma) < 1e-3,
+                           jnp.where(gamma < 0, -1e-3, 1e-3), gamma)
     pre = jnp.where(pos, y, y / slope)
     xhat = (pre - beta) / gamma_safe
     dgamma = jnp.sum(g1 * xhat, axis=(0, 1, 2))

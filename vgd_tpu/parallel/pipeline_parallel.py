@@ -35,9 +35,13 @@ from vgd_tpu.parallel.mesh import MODEL_AXIS
 
 def _varying_like(x, ref_leaf):
     """Zero-valued array shaped like x that carries ref_leaf's varying
-    manual axes (shard_map's typed scan carries reject unvarying inits)."""
+    manual axes (shard_map's typed scan carries reject unvarying inits).
+    Uses a never-taken `where` branch rather than `0 * sum(ref)` so a
+    non-finite flow param cannot inject NaN into the pipeline init."""
     z = jnp.zeros_like(x)
-    return z + jnp.zeros((), z.dtype) * jnp.sum(ref_leaf).astype(z.dtype)
+    s = jnp.sum(ref_leaf).astype(z.dtype)
+    return jnp.where(jnp.zeros((), jnp.bool_), jnp.broadcast_to(s, z.shape),
+                     z)
 
 
 def pipeline_flows_local(glow, local_flows, x_mb: jax.Array,
@@ -104,6 +108,11 @@ def pp_flow_stack(mesh: Mesh, glow, flows, x: jax.Array,
     """
     b = x.shape[0]
     assert b % n_microbatches == 0, (b, n_microbatches)
+    k = jax.tree_util.tree_leaves(flows)[0].shape[0]
+    p = mesh.shape[MODEL_AXIS]
+    assert k % p == 0, (
+        f"flow count K={k} must divide evenly over the {p}-way model axis "
+        f"(each pipeline stage scans K/p flows); got K % p == {k % p}")
     x_mb = x.reshape((n_microbatches, b // n_microbatches) + x.shape[1:])
     fn = functools.partial(pipeline_flows_local, glow,
                            axis_name=MODEL_AXIS)

@@ -47,6 +47,8 @@ class _Profiler:
 
     def __init__(self, run_cfg):
         self.dir = run_cfg.profile_dir
+        if self.dir and jax.process_index() != 0:
+            self.dir = None   # one trace per pod, not one per host
         self.start_step, self.stop_step = run_cfg.profile_steps
         self.active = False
 
@@ -71,6 +73,12 @@ def _setup(cfg_run):
         # TPU pods: auto-detects coordinator address / process count from
         # the pod environment; makes jax.devices() span all hosts so
         # _dp_mesh's mesh covers the slice with no further changes.
+        # NOTE: the host-side loaders are seeded identically on every
+        # process, so all hosts stage the SAME global batch (the mesh shards
+        # it across the pod's devices); the global batch size is
+        # cfg.data.batch_size regardless of host count. Artifact writes
+        # (MetricLog files, grids, profiler traces) are gated to process 0
+        # in io/artifacts.py; orbax saves run on all processes.
         import jax.distributed
         try:
             jax.distributed.initialize()
@@ -266,10 +274,14 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
             val_loss += float(ev["val_loss"]) * n_valid
             n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
-            acc.update(signed_to_unit(ev["recon"]), signed_to_unit(img))
-            psnr_sum += float(psnr(signed_to_unit(ev["recon"]),
-                                   signed_to_unit(img)))
-            n_vb += 1
+            # slice padded rows off every metric input (the val Loader pads
+            # the last batch to a static shape) — only the true val set may
+            # contribute (vaegan_code.py:165-185)
+            acc.update(signed_to_unit(ev["recon"]), signed_to_unit(img),
+                       n_valid=n_valid)
+            psnr_sum += float(psnr(signed_to_unit(ev["recon"][:n_valid]),
+                                   signed_to_unit(img[:n_valid]))) * n_valid
+            n_vb += n_valid
             if panel is None:
                 panel = (np.asarray(ev["noisy"]), np.asarray(img),
                          np.asarray(ev["recon"]))
@@ -329,7 +341,7 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
     gstep = 0
     for epoch in range(start_epoch, epochs):
         ramp = jnp.float32(min(epoch / cfg.kl_warmup_epochs, 1.0))
-        total, count = 0.0, 0
+        total_dev, count = None, 0
         t0 = time.perf_counter()
         batches = device_prefetch((b for b, _ in train.epoch()), size=2,
                                   sharding=_dp_sharding(mesh))
@@ -342,7 +354,12 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
                                           ramp)
             gstep += 1
             count += 1
-            total += float(m["total"])
+            # device-resident accumulation: float(m) every step would sync
+            # host<->device per batch — exactly the reference's .item()
+            # pathology (SURVEY.md §3.1); one fetch per epoch instead
+            total_dev = m["total"] if total_dev is None \
+                else total_dev + m["total"]
+        total = float(total_dev) if count else 0.0
         ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
                                                 1e-9)
         val_loss, n_val, panel = 0.0, 0, None
@@ -354,11 +371,13 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
             val_loss += float(ev["val_loss"]) * n_valid
             n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
-            ru, iu = signed_to_unit(ev["recon"]), signed_to_unit(img)
-            mse_v += float(mse_metric(ru, iu))
-            psnr_v += float(psnr(ru, iu))
-            ssim_v += float(ssim(ru, iu))
-            n_b += 1
+            # metrics over the true (unpadded) rows only, weighted by count
+            ru = signed_to_unit(ev["recon"][:n_valid])
+            iu = signed_to_unit(img[:n_valid])
+            mse_v += float(mse_metric(ru, iu)) * n_valid
+            psnr_v += float(psnr(ru, iu)) * n_valid
+            ssim_v += float(ssim(ru, iu)) * n_valid
+            n_b += n_valid
             if panel is None:
                 panel = (np.asarray(ev["noisy"]), np.asarray(img),
                          np.asarray(ev["recon"]))
@@ -414,7 +433,7 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
-        d_sum = g_sum = 0.0
+        d_dev = g_dev = None
         count = 0
         t0 = time.perf_counter()
         batches = device_prefetch((b for b, _ in train.epoch()), size=2,
@@ -427,8 +446,12 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
                                jax.random.fold_in(key, gstep))
             gstep += 1
             count += 1
-            d_sum += float(m["d_loss"])
-            g_sum += float(m["g_loss"])
+            # device-resident loss accumulation (one host fetch per epoch,
+            # not the reference's per-batch .item() syncs, SURVEY.md §3.1)
+            d_dev = m["d_loss"] if d_dev is None else d_dev + m["d_loss"]
+            g_dev = m["g_loss"] if g_dev is None else g_dev + m["g_loss"]
+        d_sum = float(d_dev) if count else 0.0
+        g_sum = float(g_dev) if count else 0.0
         ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
                                                 1e-9)
         log.append(epoch=epoch, d_loss=d_sum / max(count, 1),
@@ -470,7 +493,8 @@ def evaluate_gan_checkpoints(cfg: GANConfig, feature_fn=None,
                                   (len(vbatch), 1, 1, cfg.latent_dim))
             fake = trainer.generate(state, z)
             real = to_signed(jnp.asarray(vbatch))
-            acc.update(signed_to_unit(fake), signed_to_unit(real))
+            acc.update(signed_to_unit(fake), signed_to_unit(real),
+                       n_valid=n_valid)
         results.append({"step": s, **acc.compute()})
     np.savez(os.path.join(cfg.run.out_dir, "metrics.npz"),
              results=np.array([list(r.values()) for r in results]))
@@ -498,12 +522,16 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
     sample_dir = os.path.join(cfg.run.out_dir, "sample")
     os.makedirs(sample_dir, exist_ok=True)
 
-    batches = iter(train)
     start = 0
     if resume and ckpt.latest_step() is not None:
         state, rkey, start = ckpt.restore(state,
                                            key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    # fast-forward the shuffled stream on resume: the fresh run consumes
+    # batch 0 in init_step and batch i+1 at iteration i, so a run resumed at
+    # `start` continues from batch start+1 — continuation-equivalent, no
+    # re-used data (the skip replays permutations only, not decode work)
+    batches = train.stream(start + 1) if start > 0 else iter(train)
     mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     state = _dp_state(mesh, state)
     put = _dp_put(mesh)
@@ -551,7 +579,7 @@ def evaluate_glow(cfg: GlowConfig, state, trainer, val,
         fake = trainer.reverse(state, z)
         fake_unit = jnp.clip(fake + 0.5, 0.0, 1.0)   # nf_code.py:685
         real_unit = jnp.asarray(vbatch, jnp.float32) / 255.0
-        acc.update(fake_unit, real_unit)
+        acc.update(fake_unit, real_unit, n_valid=n_valid)
     return acc.compute()
 
 
@@ -562,7 +590,6 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
     key = _setup(cfg.run)
     ds = EEGDataset(path=cfg.eeg_path, dataset_type="T",
                     event_type=cfg.event_type, seed=cfg.run.seed)
-    batches = eeg_batches(ds, cfg.batch_size, seed=cfg.run.seed)
     trainer = GlowEEGTrainer(cfg)
     state = trainer.init(key, cfg.batch_size)
     ckpt = Checkpointer(os.path.join(cfg.run.out_dir,
@@ -579,6 +606,9 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
         state, rkey, start = ckpt.restore(state,
                                            key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
+    # continuation-equivalent stream position (see run_glow)
+    batches = eeg_batches(ds, cfg.batch_size, seed=cfg.run.seed,
+                          skip=start + 1 if start > 0 else 0)
     mesh = _dp_mesh(cfg.run, cfg.batch_size)
     state = _dp_state(mesh, state)
     put = _dp_put(mesh)
@@ -711,7 +741,7 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
-        total, count = 0.0, 0
+        total_dev, count = None, 0
         t0 = time.perf_counter()
         batches = device_prefetch((b for b, _ in train.epoch()), size=2,
                                   sharding=_dp_sharding(mesh))
@@ -723,7 +753,11 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
                                           jax.random.fold_in(key, gstep))
             gstep += 1
             count += 1
-            total += float(m["loss"]) * len(batch)
+            # device-resident accumulation (train batches are all full-size,
+            # so the per-image weighting is a constant factor applied once)
+            total_dev = m["loss"] if total_dev is None \
+                else total_dev + m["loss"]
+        total = float(total_dev) * cfg.data.batch_size if count else 0.0
         ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
                                                 1e-9)
         val_total, n_val = 0.0, 0
@@ -774,9 +808,10 @@ def evaluate_diffusion(cfg: DiffusionConfig, state, trainer, val,
         restored = trainer.ancestral_sample(state, xt, t_start, k_chain)
         fake_unit = signed_to_unit(restored)
         real_unit = signed_to_unit(x0)
-        acc.update(fake_unit, real_unit)
-        psnr_sum += float(psnr_fn(fake_unit, real_unit))
-        n_b += 1
+        acc.update(fake_unit, real_unit, n_valid=n_valid)
+        psnr_sum += float(psnr_fn(fake_unit[:n_valid],
+                                  real_unit[:n_valid])) * n_valid
+        n_b += n_valid
         if save_panels and j == 0:
             one_step = trainer.predict_x0(state, xt, t_vec)
             panels = [np.asarray(x0), np.asarray(jnp.clip(xt, -1, 1)),
@@ -880,7 +915,8 @@ def evaluate_vae_checkpoints(cfg: VAEConfig, feature_fn=None,
                                   jnp.asarray(mu), jnp.asarray(logvar))
             fake = trainer.generate(state, z)
             real = to_signed(jnp.asarray(vbatch))
-            acc.update(signed_to_unit(fake), signed_to_unit(real))
+            acc.update(signed_to_unit(fake), signed_to_unit(real),
+                       n_valid=n_valid)
             if grid is None:
                 grid = np.asarray(fake)
         row = {"step": s, **acc.compute()}
