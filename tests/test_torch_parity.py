@@ -50,14 +50,17 @@ class _Seq(tnn.Module):
 def _torch_generator_64(nz=100, ngf=64):
     """Reference generator architecture at 64x64 depth (gan_code.py:16-54
     spec: convT(4,1,0) stem, stride-2 convT(4,2,1) stages halving channels
-    from ngf*16, BN+ReLU, 3x3 conv + tanh)."""
+    from ngf*16, BN+ReLU, then — as in the actual reference, gan_code.py:49 —
+    a stride-1 ConvTranspose2d(ch, 3, 3, 1, 1) + tanh (NOT a Conv2d; the
+    importer must flip/swap its kernel)."""
     ch = [ngf * 16, ngf * 8, ngf * 4, ngf * 2, ngf]
     layers = [tnn.ConvTranspose2d(nz, ch[0], 4, 1, 0, bias=False),
               tnn.BatchNorm2d(ch[0]), tnn.ReLU(True)]
     for i in range(1, len(ch)):
         layers += [tnn.ConvTranspose2d(ch[i - 1], ch[i], 4, 2, 1, bias=False),
                    tnn.BatchNorm2d(ch[i]), tnn.ReLU(True)]
-    layers += [tnn.Conv2d(ch[-1], 3, 3, 1, 1, bias=False), tnn.Tanh()]
+    layers += [tnn.ConvTranspose2d(ch[-1], 3, 3, 1, 1, bias=False),
+               tnn.Tanh()]
     return _Seq(layers)
 
 

@@ -55,11 +55,17 @@ def _bn(sd, prefix):
              "var": sd[f"{prefix}.running_var"]})
 
 
-def import_generator(path: str, n_up: int) -> Dict:
+def import_generator(path: str, n_up: int, nc: int = 3) -> Dict:
     """Reference Generator state_dict (gan_code.py:16-54) -> flax variables.
 
     torch Sequential layout: convT at index 3i, BN at 3i+1 for i in
-    0..n_up, final 3x3 conv at 3*(n_up+1).
+    0..n_up, final 3x3 layer at 3*(n_up+1).
+
+    The reference's final 3x3 layer is a stride-1 ConvTranspose2d
+    (gan_code.py:49) — weight (I, O, kh, kw); our Generator's ``out`` is a
+    plain conv, and stride-1 convT == correlation with the spatially-flipped,
+    I/O-swapped kernel, so that conversion is applied when the checkpoint's
+    weight has convT layout (detected via the ``nc`` output-channel axis).
     """
     sd = _load_state_dict(path)
     params, stats = {}, {}
@@ -68,7 +74,10 @@ def import_generator(path: str, n_up: int) -> Dict:
         p, s = _bn(sd, f"main.{3 * i + 1}")
         params[f"bn{i}"] = p
         stats[f"bn{i}"] = s
-    params["out"] = {"kernel": conv_w(sd[f"main.{3 * (n_up + 1)}.weight"])}
+    w = sd[f"main.{3 * (n_up + 1)}.weight"]
+    if w.shape[1] == nc and w.shape[0] != nc:
+        w = np.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+    params["out"] = {"kernel": conv_w(np.ascontiguousarray(w))}
     return {"params": params, "batch_stats": stats}
 
 
