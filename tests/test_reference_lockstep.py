@@ -30,9 +30,6 @@ Adam eps=1e-3 (same step code; the larger eps damps near-zero-gradient
 updates to ~g*lr/eps), and a separate test pins the step-0 gradients
 absolutely — the stronger, well-conditioned statement of backward parity.
 """
-import sys
-import types
-
 import numpy as np
 import pytest
 
@@ -43,50 +40,14 @@ import torch.optim as toptim  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-REF = "/root/reference"
-
-
-def _stub(name, **attrs):
-    if name in sys.modules:
-        return sys.modules[name]
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    return mod
-
-
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference's own modules with eval-dep stubs installed."""
-    import os
-    if not os.path.isdir(REF):
-        pytest.skip("reference checkout not available")
-    _Metric = type("_Metric", (), {})
-    tm = _stub("torchmetrics")
-    tm_img = _stub("torchmetrics.image",
-                   FrechetInceptionDistance=_Metric,
-                   StructuralSimilarityIndexMeasure=_Metric)
-    tm.image = tm_img
-    tm_inc = _stub("torchmetrics.image.inception", InceptionScore=_Metric)
-    tm_img.inception = tm_inc
-    tv = _stub("torchvision")
-    tv_t = _stub("torchvision.transforms", Compose=list, Resize=object,
-                 CenterCrop=object, ToTensor=object, Normalize=object)
-    tv_t_f = _stub("torchvision.transforms.functional", crop=lambda *a: None)
-    tv_t.functional = tv_t_f
-    tv_d = _stub("torchvision.datasets")
-    tv_d_f = _stub("torchvision.datasets.folder",
-                   default_loader=lambda p: None)
-    tv_d.folder = tv_d_f
-    tv.transforms, tv.datasets = tv_t, tv_d
-    sys.path.insert(0, REF)
+    from vgd_tpu.io.reference_compat import import_reference
     try:
-        import gan_code
-        import main_vae
-    finally:
-        sys.path.remove(REF)
-    return types.SimpleNamespace(gan=gan_code, vae=main_vae)
+        return import_reference()
+    except FileNotFoundError:
+        pytest.skip("reference checkout not available")
 
 
 def _export(module, tmp_path, name):
