@@ -1,0 +1,82 @@
+"""Fused Pallas coupling vs stock XLA chain at the Glow reference config.
+
+Measures the full train step (fwd+bwd+Adam, fetch-timed per the axon tunnel
+rules) for K=32 L=4 64x64 batch 16 (nf_code.py:711-722) with and without
+``GlowConfig.fused_coupling``, plus optional batch sweeps.
+
+Run:  python benchmarks/glow_fused_bench.py [--batches 16 64] [--steps 30]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="*", default=[16])
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vgd_tpu.core.config import DataConfig, GlowConfig, RunConfig
+    from vgd_tpu.core.rng import seed_all
+    from vgd_tpu.train.glow import GlowTrainer
+
+    print("backend:", jax.default_backend())
+    key = seed_all(42, impl="rbg")
+    s = a.image_size
+
+    def fetch_time(tr, st, batch, n):
+        for i in range(3):
+            st, m = tr.train_step(st, jnp.asarray(batch),
+                                  jax.random.fold_in(key, i))
+        jax.block_until_ready(st)
+        _ = float(jax.tree_util.tree_leaves(st.params)[0].ravel()[0])
+        t0 = time.perf_counter()
+        for i in range(n):
+            st, m = tr.train_step(st, jnp.asarray(batch),
+                                  jax.random.fold_in(key, 100 + i))
+        _ = float(jax.tree_util.tree_leaves(st.params)[0].ravel()[0])
+        return (time.perf_counter() - t0) / n, float(m["loss"])
+
+    results = []
+    for b in a.batches:
+        batch = np.random.default_rng(0).integers(
+            0, 255, (b, s, s, 3)).astype(np.uint8)
+        row = {"batch": b}
+        for fused in (False, True):
+            cfg = GlowConfig(
+                data=DataConfig(batch_size=b, image_size=(s, s),
+                                normalize=False),
+                run=RunConfig(compute_dtype=a.compute_dtype),
+                fused_coupling=fused)
+            tr = GlowTrainer(cfg, (s, s, 3))
+            st = tr.init(key, b)
+            st = tr.init_step(st, jnp.asarray(batch), key)
+            dt, loss = fetch_time(tr, st, batch, a.steps)
+            tag = "fused" if fused else "stock"
+            row[tag + "_ms"] = round(dt * 1000, 2)
+            row[tag + "_ips"] = round(b / dt)
+            row[tag + "_loss"] = round(loss, 4)
+            print(f"b{b} {tag}: {dt * 1000:.2f} ms  {b / dt:.0f} img/s  "
+                  f"(loss {loss:.4f})")
+        row["speedup"] = round(row["stock_ms"] / row["fused_ms"], 2)
+        print(f"b{b} speedup: {row['speedup']}x")
+        results.append(row)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

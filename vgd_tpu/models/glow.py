@@ -173,7 +173,7 @@ class Glow:
 
     def __init__(self, in_channels=3, n_flows=32, n_blocks=4,
                  variant="image", filter_size=512, compute_dtype=F32,
-                 remat=False):
+                 remat=False, fused_coupling=False):
         self.cfg = GlowConfigBase(in_channels, n_flows, n_blocks, variant,
                                   filter_size, compute_dtype)
         # jax.checkpoint on the per-flow scan body: activation memory drops
@@ -181,6 +181,11 @@ class Glow:
         # batch 256 the K=32 L=4 step needs 36G of HBM without it vs 15.75G
         # available (benchmarks/glow_batch_scaling.py).
         self.remat = remat
+        # Pallas fused coupling NN (ops/glow_coupling.py): conv1 -> relu ->
+        # conv2 -> relu -> zeroconv entirely in VMEM; removes the 512-wide
+        # intermediates' HBM round trips that cap the scan at ~24% of the
+        # HBM roofline (BASELINE.md Glow row).
+        self.fused_coupling = fused_coupling
 
     # -- init ---------------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
@@ -217,6 +222,14 @@ class Glow:
         return y * jnp.exp(p["scale"] * 3.0)
 
     def _coupling_nn(self, p, xa):
+        if self.fused_coupling:
+            from vgd_tpu.ops.glow_coupling import glow_coupling_nn
+            kh, kw = self.cfg.kernel
+            (ph, _), (pw, _) = self.cfg.pad
+            return glow_coupling_nn(
+                p, xa.astype(F32), (kh, kw), (ph, pw),
+                compute_dtype=self.cfg.compute_dtype,
+                interpret=jax.default_backend() != "tpu")
         cd = self.cfg.compute_dtype
         h = jax.nn.relu(self._conv(p["conv1"], xa, self.cfg.pad, cd))
         h = jax.nn.relu(self._conv(p["conv2"], h, "VALID", cd))
@@ -234,9 +247,15 @@ class Glow:
                 @ (p["U"] * u_mask + jnp.diag(s_sign * jnp.exp(p["log_s"]))))
 
     # -- single flow --------------------------------------------------------
-    def _flow_fwd(self, p, x, hw: int, init: bool):
+    def _flow_fwd(self, p, x, hw: int, init: bool, w=None, ld_pre=None):
         """ActNorm -> InvConv -> AdditiveCoupling (nf_code.py:331-360).
-        Returns (y, logdet, actnorm_stats_or_None)."""
+        Returns (y, logdet, actnorm_stats_or_None).
+
+        ``w`` / ``ld_pre``: the PLU weight and the flow's (actnorm+invconv)
+        logdet, precomputed BATCHED over K outside the scan (_block_fwd) —
+        in-scan per-flow assembly serialises K tiny (c,c) matmuls and
+        reductions, pure launch latency on TPU. In init mode both are
+        recomputed here from the data-dependent stats."""
         if init:
             mean = jnp.mean(x, axis=(0, 1, 2))
             std = jnp.std(x, axis=(0, 1, 2), ddof=1)
@@ -246,11 +265,14 @@ class Glow:
             b, s = p["actnorm"]["b"], p["actnorm"]["s"]
             stats = {"b": b, "s": s}
         y = s * (x + b)
-        logdet = hw * jnp.sum(jnp.log(jnp.abs(s)))
-
-        w = self._plu_weight(p["invconv"])
+        if w is None:
+            w = self._plu_weight(p["invconv"])
         y = jnp.einsum("bhwi,oi->bhwo", y, w)
-        logdet = logdet + hw * jnp.sum(p["invconv"]["log_s"])
+        if ld_pre is None or init:
+            logdet = hw * (jnp.sum(jnp.log(jnp.abs(s)))
+                           + jnp.sum(p["invconv"]["log_s"]))
+        else:
+            logdet = ld_pre
 
         ya, yb = jnp.split(y, 2, axis=-1)
         out_b = yb + self._coupling_nn(p["coupling"], ya)
@@ -319,15 +341,25 @@ class Glow:
         y = self._squeeze(x)
         hw = y.shape[1] * y.shape[2]
 
-        def body(carry, flow_p):
+        # Batched precompute of the K PLU weights + per-flow logdets: one
+        # vmapped (K,c,c) assembly / one (K,) reduction instead of K tiny
+        # serialised ops inside the scan body (launch-latency floor).
+        w_all = jax.vmap(self._plu_weight)(p["flows"]["invconv"])
+        ld_all = hw * (
+            jnp.sum(jnp.log(jnp.abs(p["flows"]["actnorm"]["s"])), axis=1)
+            + jnp.sum(p["flows"]["invconv"]["log_s"], axis=1))
+
+        def body(carry, xs):
+            flow_p, w, ld_pre = xs
             y, logdet = carry
-            y, ld, stats = self._flow_fwd(flow_p, y, hw, init)
+            y, ld, stats = self._flow_fwd(flow_p, y, hw, init, w=w,
+                                          ld_pre=ld_pre)
             return (y, logdet + ld), stats
 
         if self.remat:
             body = jax.checkpoint(body)
         (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), y.dtype)),
-                                          p["flows"])
+                                          (p["flows"], w_all, ld_all))
         if split:
             y, z_new = jnp.split(y, 2, axis=-1)
             mean, log_sd = jnp.split(self._zeroconv(p["prior"], y), 2,

@@ -74,7 +74,9 @@ class GlowTrainer(_GlowTrainerBase):
         self.model = Glow(in_channels=c, n_flows=cfg.n_flows,
                           n_blocks=cfg.n_blocks, variant="image",
                           filter_size=cfg.filter_size, compute_dtype=dtype,
-                          remat=getattr(cfg, "remat", False))
+                          remat=getattr(cfg, "remat", False),
+                          fused_coupling=getattr(cfg, "fused_coupling",
+                                                 False))
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.n_bins = 2.0 ** cfg.n_bits
