@@ -70,6 +70,13 @@ def _add_common(p):
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() before backend use "
                    "(TPU pods; mesh then spans all hosts)")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel mesh axis size (-1 = all devices "
+                   "not used by --mesh-model; default -1)")
+    p.add_argument("--mesh-model", type=int, default=None,
+                   help="model mesh axis size: >1 shards the Glow coupling "
+                   "filters (tensor parallel) / the UNet token axis "
+                   "(sequence parallel) across devices")
 
 
 def _add_fid(p):
@@ -107,6 +114,11 @@ def _run_cfg(base: C.RunConfig, a, default_out: str) -> C.RunConfig:
         kw["prng_impl"] = a.prng_impl
     if getattr(a, "multihost", False):
         kw["multihost"] = True
+    if getattr(a, "mesh_data", None) is not None or \
+            getattr(a, "mesh_model", None) is not None:
+        kw["mesh"] = C.MeshConfig(
+            data=a.mesh_data if a.mesh_data is not None else -1,
+            model=a.mesh_model if a.mesh_model is not None else 1)
     return dataclasses.replace(base, **kw)
 
 
@@ -130,6 +142,10 @@ def main(argv=None):
                            help="jax.checkpoint the flow scan: activation "
                            "memory O(K)->O(1), enables batch>=256 "
                            "(~5%% step-time cost)")
+            p.add_argument("--fused-coupling", action="store_true",
+                           help="Pallas fused coupling NN: the whole "
+                           "conv-relu-conv-relu-zeroconv chain per flow "
+                           "stays in VMEM (ops/glow_coupling.py)")
         if name == "glow-eeg":
             p.add_argument("--event-type", default="mi",
                            choices=["mi", "baseline"])
@@ -251,7 +267,9 @@ def main(argv=None):
             run=_run_cfg(cfg.run, a, "runs/glow"),
             **({"n_iter": a.iters} if a.iters else {}),
             **({"lr": a.lr} if a.lr else {}),
-            **({"remat": True} if getattr(a, "remat", False) else {}))
+            **({"remat": True} if getattr(a, "remat", False) else {}),
+            **({"fused_coupling": True}
+               if getattr(a, "fused_coupling", False) else {}))
         L.run_glow(cfg, resume=a.resume)
     elif a.cmd == "glow-eeg":
         cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)

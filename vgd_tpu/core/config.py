@@ -161,6 +161,10 @@ class GlowConfig:
     # O(K) -> O(1) per block, enabling batch >= 256 on a 16G chip
     # (benchmarks/glow_batch_scaling.py); +1 recompute in backward
     remat: bool = False
+    # Pallas fused coupling NN (ops/glow_coupling.py): the whole
+    # conv1->relu->conv2->relu->zeroconv chain per flow stays in VMEM,
+    # removing the 512-wide intermediates' HBM round trips
+    fused_coupling: bool = False
 
 
 @dataclass(frozen=True)

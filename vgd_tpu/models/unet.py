@@ -96,6 +96,10 @@ class AttentionBlock(nn.Module):
     channels: int
     dtype: Any = F32
     fused: bool = False
+    # sequence parallelism: a Mesh with a model axis > 1 routes the token
+    # axis through ring attention (parallel/sequence_parallel.py) — K/V
+    # blocks rotate via ppermute, peak memory O(N/p) per device
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -105,12 +109,19 @@ class AttentionBlock(nn.Module):
         qkv = nn.Conv(c * 3, (1, 1), dtype=self.dtype, name="qkv")(
             h.astype(self.dtype))
         q, k, v = jnp.split(qkv.reshape(b, hh * ww, 3 * c), 3, axis=-1)
-        # training path: ops.attention dispatches to the Pallas flash
-        # kernels WITH custom VJP on TPU at large token counts (the
-        # reference materialises the (HW)^2 matrix, diffusion_model.py:52-60)
-        attend = flash_attention if self.fused else attention
-        out = attend(q.astype(F32), k.astype(F32), v.astype(F32),
-                     scale=1.0 / math.sqrt(c))
+        if self.sp_mesh is not None:
+            from vgd_tpu.parallel.sequence_parallel import sp_self_attention
+            out = sp_self_attention(self.sp_mesh, q.astype(F32),
+                                    k.astype(F32), v.astype(F32),
+                                    scale=1.0 / math.sqrt(c))
+        else:
+            # training path: ops.attention dispatches to the Pallas flash
+            # kernels WITH custom VJP on TPU at large token counts (the
+            # reference materialises the (HW)^2 matrix,
+            # diffusion_model.py:52-60)
+            attend = flash_attention if self.fused else attention
+            out = attend(q.astype(F32), k.astype(F32), v.astype(F32),
+                         scale=1.0 / math.sqrt(c))
         out = out.reshape(b, hh, ww, c)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj")(
             out.astype(self.dtype))
@@ -171,6 +182,10 @@ class UNet(nn.Module):
     # route attention + GroupNorm/SiLU through the Pallas kernels; used on
     # inference paths (sampling), where no VJP is required
     fused: bool = False
+    # sequence-parallel mesh: bottleneck self-attention tokens sharded over
+    # the mesh's model axis (ring attention); cross-attention needs no ring
+    # (its 64 global-token K/V replicate)
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, t):
@@ -204,6 +219,7 @@ class UNet(nn.Module):
                       name="bottleneck")(max_pool2(d3), t_emb)
         if self.attention:
             b = AttentionBlock(c * 4, dtype=self.dtype, fused=self.fused,
+                               sp_mesh=self.sp_mesh,
                                name="attn_bottleneck")(b)
 
         u3 = ConvBlock(c * 2, self.time_emb_dim, self.dtype, self.fused,

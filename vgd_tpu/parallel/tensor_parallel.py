@@ -44,20 +44,39 @@ def coupling_param_specs() -> dict:
     }
 
 
-def shard_glow_coupling(mesh: Mesh, params: dict) -> dict:
+def shard_glow_coupling(mesh: Mesh, params) -> dict:
     """Place Glow params with coupling hidden-filter shards over ``model``
-    and everything else replicated."""
+    and everything else replicated.
+
+    Works on any pytree whose coupling leaves sit under
+    ``...['coupling'][{'conv1','conv2','zero'}][{'w','b','scale'}]`` paths —
+    the raw param dict, a GlowState, or an optimizer state mirroring the
+    param structure (Adam's mu/nu trees reuse the same dict keys)."""
     specs = coupling_param_specs()
 
     def place(path, leaf):
         names = [getattr(k, "key", str(k)) for k in path]
         spec = P()
-        if "coupling" in names:
+        if "coupling" in names and len(names) >= 2:
             sub = specs.get(names[-2], {})
             spec = sub.get(names[-1], P())
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_glow_state(mesh: Mesh, state, filter_size: int):
+    """TP placement for a full Glow train state (params + optimizer state +
+    step): coupling hidden filters sharded over ``model``, everything else
+    replicated. The jitted train step then runs tensor-parallel purely via
+    jit sharding propagation — no step-code changes (SURVEY.md §2c)."""
+    tp = mesh.shape[MODEL_AXIS]
+    if filter_size % tp != 0:
+        raise ValueError(
+            f"filter_size {filter_size} not divisible by the model axis "
+            f"({tp} devices) — choose --mesh-model dividing the coupling "
+            f"filter count")
+    return shard_glow_coupling(mesh, state)
 
 
 def shard_glow_batch(mesh: Mesh, x) -> jax.Array:

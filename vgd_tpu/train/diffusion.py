@@ -98,20 +98,26 @@ class DiffusionState:
 
 
 class DiffusionTrainer:
-    def __init__(self, cfg: DiffusionConfig, img_shape: Tuple[int, int, int]):
+    def __init__(self, cfg: DiffusionConfig, img_shape: Tuple[int, int, int],
+                 sp_mesh=None):
+        """``sp_mesh``: a Mesh with model-axis > 1 routes the bottleneck
+        self-attention through ring attention (sequence parallelism) in BOTH
+        the train and sampling paths (parallel/sequence_parallel.py)."""
         self.cfg = cfg
         h, w, c = img_shape
         dtype = jnp.dtype(cfg.run.compute_dtype)
         self.model = UNet(out_ch=c, base_ch=cfg.base_ch,
                           time_emb_dim=cfg.time_emb_dim,
-                          attention=cfg.attention, dtype=dtype)
+                          attention=cfg.attention, dtype=dtype,
+                          sp_mesh=sp_mesh)
         # same params, Pallas-fused attention + GroupNorm/SiLU — used on the
         # no-grad sampling paths (the reference's hottest inference loop,
-        # test_diffusion.py:90-96)
+        # test_diffusion.py:90-96); sp_mesh routing wins over `fused` at the
+        # bottleneck (the ring body is itself the blockwise form)
         self.model_fused = UNet(out_ch=c, base_ch=cfg.base_ch,
                                 time_emb_dim=cfg.time_emb_dim,
                                 attention=cfg.attention, dtype=dtype,
-                                fused=True)
+                                fused=True, sp_mesh=sp_mesh)
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.sched = make_schedule(cfg.timesteps, cfg.beta_start, cfg.beta_end)

@@ -126,6 +126,26 @@ def _dp_state(mesh, state):
     return shard_tree_replicated(mesh, state)
 
 
+def _glow_state_placement(mesh, state, cfg):
+    """Glow state placement: replicated for DP meshes; with ``model > 1``
+    the coupling hidden-filter dim (the 512-wide layers, where the
+    memory/FLOPs live) is sharded over the model axis and the jitted step
+    runs DPxTP via jit sharding propagation (parallel/tensor_parallel.py)."""
+    if mesh is None:
+        return state
+    from vgd_tpu.parallel.mesh import MODEL_AXIS
+    if mesh.shape[MODEL_AXIS] <= 1:
+        return _dp_state(mesh, state)
+    if getattr(cfg, "fused_coupling", False):
+        raise ValueError(
+            "--mesh-model > 1 is incompatible with --fused-coupling: the "
+            "Pallas coupling kernel cannot be auto-partitioned over the "
+            "filter axis (XLA shards only its batch grid). Drop one of the "
+            "two flags.")
+    from vgd_tpu.parallel.tensor_parallel import shard_glow_state
+    return shard_glow_state(mesh, state, cfg.filter_size)
+
+
 def _dp_sharding(mesh, ndim=4, stacked=False):
     """NamedSharding for batch arrays: batch axis over ``data`` (axis 1 for
     stacked (n_steps, B, ...) epoch-scan chunks). None without a mesh."""
@@ -533,7 +553,7 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
     # re-used data (the skip replays permutations only, not decode work)
     batches = train.stream(start + 1) if start > 0 else iter(train)
     mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
-    state = _dp_state(mesh, state)
+    state = _glow_state_placement(mesh, state, cfg)
     put = _dp_put(mesh)
     if start == 0:
         # data-dependent ActNorm init on the first batch (nf_code.py:589-594)
@@ -610,7 +630,7 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
     batches = eeg_batches(ds, cfg.batch_size, seed=cfg.run.seed,
                           skip=start + 1 if start > 0 else 0)
     mesh = _dp_mesh(cfg.run, cfg.batch_size)
-    state = _dp_state(mesh, state)
+    state = _glow_state_placement(mesh, state, cfg)
     put = _dp_put(mesh)
     if start == 0:
         state = trainer.init_step(state, put(next(batches)), key)
@@ -724,7 +744,15 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
 
     key = _setup(cfg.run)
     train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
-    trainer = DiffusionTrainer(cfg, img_shape)
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    # model axis > 1: bottleneck attention tokens ride the ring
+    # (sequence parallelism); params stay replicated
+    sp_mesh = None
+    if mesh is not None:
+        from vgd_tpu.parallel.mesh import MODEL_AXIS
+        if mesh.shape[MODEL_AXIS] > 1:
+            sp_mesh = mesh
+    trainer = DiffusionTrainer(cfg, img_shape, sp_mesh=sp_mesh)
     state = trainer.init(key, cfg.data.batch_size)
     ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
                         keep=cfg.run.keep_checkpoints)
@@ -733,7 +761,6 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
-    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir, "diffusion_loss")
     prof = _Profiler(cfg.run)
