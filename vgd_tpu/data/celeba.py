@@ -47,11 +47,36 @@ class ArrayDataset:
         return self.array[idx]
 
 
-def _decode_folder(path: str, image_size: Tuple[int, int],
-                   dataset_size: Optional[int]) -> np.ndarray:
-    """Decode a folder of JPEGs to a uint8 memmap cache (resize + center-crop
-    to ``image_size``), mirroring Resize+CenterCrop (dataset_code.py:26-30)."""
+def _decode_one(p: str, h: int, w: int) -> np.ndarray:
+    """Decode one JPEG: resize so the short side matches, then center-crop
+    (torchvision Resize(int)+CenterCrop semantics, dataset_code.py:26-30;
+    for already-square HQ images this is a plain resize)."""
     from PIL import Image
+
+    img = Image.open(p).convert("RGB")
+    iw, ih = img.size
+    scale = max(h / ih, w / iw)
+    nw, nh = max(int(round(iw * scale)), w), max(int(round(ih * scale)), h)
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left, top = (nw - w) // 2, (nh - h) // 2
+    img = img.crop((left, top, left + w, top + h))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def _decode_folder(path: str, image_size: Tuple[int, int],
+                   dataset_size: Optional[int],
+                   workers: Optional[int] = None,
+                   progress: bool = True) -> np.ndarray:
+    """Decode a folder of JPEGs to a uint8 memmap cache.
+
+    The decode fans out over a thread pool (PIL releases the GIL inside the
+    JPEG decompressor and the resampler, so threads scale without the
+    per-image pickling the reference's multiprocessing Pool pays,
+    dataset_code.py:152-155) and the memmap is flushed in chunks so a 200k
+    build never holds more than one chunk of decoded images in page cache
+    dirty state."""
+    import concurrent.futures as _fut
+    import time as _time
 
     paths = sorted(_glob.glob(os.path.join(path, "*.jpg")))
     if not paths:
@@ -68,19 +93,21 @@ def _decode_folder(path: str, image_size: Tuple[int, int],
         return np.load(cache, mmap_mode="r")
     out = np.lib.format.open_memmap(cache + ".tmp", mode="w+",
                                     dtype=np.uint8, shape=(len(paths), h, w, 3))
-    for i, p in enumerate(paths):
-        img = Image.open(p).convert("RGB")
-        iw, ih = img.size
-        # Resize so the short side matches, then center-crop (torchvision
-        # Resize(int)+CenterCrop semantics; for already-square HQ images this
-        # is a plain resize).
-        scale = max(h / ih, w / iw)
-        nw, nh = max(int(round(iw * scale)), w), max(int(round(ih * scale)), h)
-        img = img.resize((nw, nh), Image.BILINEAR)
-        left, top = (nw - w) // 2, (nh - h) // 2
-        img = img.crop((left, top, left + w, top + h))
-        out[i] = np.asarray(img, dtype=np.uint8)
-    out.flush()
+    workers = workers or min(32, (os.cpu_count() or 1) * 4)
+    chunk = 2048
+    t0 = _time.perf_counter()
+    with _fut.ThreadPoolExecutor(max_workers=workers) as ex:
+        for c0 in range(0, len(paths), chunk):
+            c1 = min(c0 + chunk, len(paths))
+            for i, arr in zip(range(c0, c1),
+                              ex.map(_decode_one, paths[c0:c1],
+                                     [h] * (c1 - c0), [w] * (c1 - c0))):
+                out[i] = arr
+            out.flush()
+            if progress and len(paths) > chunk:
+                rate = c1 / max(_time.perf_counter() - t0, 1e-9)
+                print(f"[data] decode cache {c1}/{len(paths)} "
+                      f"({rate:.0f} img/s, {workers} threads)")
     del out
     os.replace(cache + ".tmp", cache)
     return np.load(cache, mmap_mode="r")

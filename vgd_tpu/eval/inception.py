@@ -189,9 +189,9 @@ class InceptionV3(nn.Module):
                 "2048": feat2048, "logits": logits}
 
 
-@functools.lru_cache(maxsize=2)
-def _build(seed: int = 0):
-    model = InceptionV3()
+@functools.lru_cache(maxsize=4)
+def _build(seed: int = 0, num_classes: int = 1008):
+    model = InceptionV3(num_classes=num_classes)
     variables = model.init(jax.random.key(seed),
                            jnp.zeros((1, 75, 75, 3), F32))
     return model, variables
@@ -203,14 +203,21 @@ def load_inception(weights_path: Optional[str] = None, feature: str = "64",
 
     feature_fn: uint8 NHWC -> (features[feature], logits), jit-compiled.
     With ``weights_path`` (a torch state_dict .pth), real InceptionV3
-    weights are imported; otherwise seeded random init (tagged).
+    weights are imported; otherwise seeded random init (tagged). The fc head
+    width follows the file: 1008-way for pytorch-fid/torchmetrics
+    ``pt_inception`` (TF class layout, what the reference's IS used),
+    1000-way for plain torchvision exports.
     """
-    model, variables = _build()
     tag = "random-init"
     if weights_path:
-        from vgd_tpu.io.torch_import import import_inception
+        from vgd_tpu.io.torch_import import _load_state_dict, \
+            import_inception
+        sd = _load_state_dict(weights_path)
+        model, variables = _build(num_classes=sd["fc.weight"].shape[0])
         variables = import_inception(weights_path, variables)
         tag = weights_path
+    else:
+        model, variables = _build()
 
     @jax.jit
     def run(x_unit):
