@@ -1,10 +1,12 @@
-"""Fused Pallas coupling vs stock XLA chain at the Glow reference config.
+"""Fused Pallas Glow variants vs stock XLA chain at the reference config.
 
 Measures the full train step (fwd+bwd+Adam, fetch-timed per the axon tunnel
-rules) for K=32 L=4 64x64 batch 16 (nf_code.py:711-722) with and without
-``GlowConfig.fused_coupling``, plus optional batch sweeps.
+rules) for K=32 L=4 64x64 batch 16 (nf_code.py:711-722) across modes:
+stock scan / per-flow fused coupling (ops/glow_coupling.py) / whole-block
+flow stack (ops/glow_flow_stack.py).
 
 Run:  python benchmarks/glow_fused_bench.py [--batches 16 64] [--steps 30]
+      [--modes stock stack]
 """
 from __future__ import annotations
 
@@ -25,6 +27,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--image-size", type=int, default=64)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--modes", nargs="*",
+                    default=["stock", "coupling", "stack"],
+                    choices=["stock", "coupling", "stack"])
     a = ap.parse_args()
 
     import jax
@@ -56,24 +61,27 @@ def main():
         batch = np.random.default_rng(0).integers(
             0, 255, (b, s, s, 3)).astype(np.uint8)
         row = {"batch": b}
-        for fused in (False, True):
+        for tag in a.modes:
             cfg = GlowConfig(
                 data=DataConfig(batch_size=b, image_size=(s, s),
                                 normalize=False),
                 run=RunConfig(compute_dtype=a.compute_dtype),
-                fused_coupling=fused)
+                fused_coupling=tag == "coupling",
+                flow_stack=tag == "stack")
             tr = GlowTrainer(cfg, (s, s, 3))
             st = tr.init(key, b)
             st = tr.init_step(st, jnp.asarray(batch), key)
             dt, loss = fetch_time(tr, st, batch, a.steps)
-            tag = "fused" if fused else "stock"
             row[tag + "_ms"] = round(dt * 1000, 2)
             row[tag + "_ips"] = round(b / dt)
             row[tag + "_loss"] = round(loss, 4)
             print(f"b{b} {tag}: {dt * 1000:.2f} ms  {b / dt:.0f} img/s  "
-                  f"(loss {loss:.4f})")
-        row["speedup"] = round(row["stock_ms"] / row["fused_ms"], 2)
-        print(f"b{b} speedup: {row['speedup']}x")
+                  f"(loss {loss:.4f})", flush=True)
+        for tag in a.modes:
+            if tag != "stock" and "stock_ms" in row:
+                row[f"speedup_{tag}"] = round(
+                    row["stock_ms"] / row[tag + "_ms"], 2)
+                print(f"b{b} {tag} speedup: {row[f'speedup_{tag}']}x")
         results.append(row)
     print(json.dumps(results))
 

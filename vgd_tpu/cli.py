@@ -146,6 +146,11 @@ def main(argv=None):
                            help="Pallas fused coupling NN: the whole "
                            "conv-relu-conv-relu-zeroconv chain per flow "
                            "stays in VMEM (ops/glow_coupling.py)")
+            p.add_argument("--flow-stack", action="store_true",
+                           help="ONE Pallas kernel per block per direction "
+                           "for the whole K-flow stack, activation "
+                           "VMEM-resident across flows "
+                           "(ops/glow_flow_stack.py)")
         if name == "glow-eeg":
             p.add_argument("--event-type", default="mi",
                            choices=["mi", "baseline"])
@@ -269,7 +274,9 @@ def main(argv=None):
             **({"lr": a.lr} if a.lr else {}),
             **({"remat": True} if getattr(a, "remat", False) else {}),
             **({"fused_coupling": True}
-               if getattr(a, "fused_coupling", False) else {}))
+               if getattr(a, "fused_coupling", False) else {}),
+            **({"flow_stack": True}
+               if getattr(a, "flow_stack", False) else {}))
         L.run_glow(cfg, resume=a.resume)
     elif a.cmd == "glow-eeg":
         cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)

@@ -165,6 +165,10 @@ class GlowConfig:
     # conv1->relu->conv2->relu->zeroconv chain per flow stays in VMEM,
     # removing the 512-wide intermediates' HBM round trips
     fused_coupling: bool = False
+    # Strongest fusion: each block's whole K-flow stack (actnorm -> PLU 1x1
+    # -> coupling) as ONE Pallas kernel per direction with weights
+    # VMEM-resident (ops/glow_flow_stack.py); training forward only
+    flow_stack: bool = False
 
 
 @dataclass(frozen=True)

@@ -173,7 +173,7 @@ class Glow:
 
     def __init__(self, in_channels=3, n_flows=32, n_blocks=4,
                  variant="image", filter_size=512, compute_dtype=F32,
-                 remat=False, fused_coupling=False):
+                 remat=False, fused_coupling=False, flow_stack=False):
         self.cfg = GlowConfigBase(in_channels, n_flows, n_blocks, variant,
                                   filter_size, compute_dtype)
         # jax.checkpoint on the per-flow scan body: activation memory drops
@@ -186,6 +186,12 @@ class Glow:
         # intermediates' HBM round trips that cap the scan at ~24% of the
         # HBM roofline (BASELINE.md Glow row).
         self.fused_coupling = fused_coupling
+        # Strongest form: the ENTIRE K-flow stack of each block as ONE
+        # Pallas kernel per direction (ops/glow_flow_stack.py) — the
+        # activation never leaves VMEM between flows. Training forward
+        # only; ActNorm-init and the reverse/sampling path keep the
+        # per-flow code.
+        self.flow_stack = flow_stack
 
     # -- init ---------------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
@@ -349,6 +355,19 @@ class Glow:
             jnp.sum(jnp.log(jnp.abs(p["flows"]["actnorm"]["s"])), axis=1)
             + jnp.sum(p["flows"]["invconv"]["log_s"], axis=1))
 
+        if self.flow_stack and not init:
+            from vgd_tpu.ops.glow_flow_stack import glow_flow_stack
+            (ph, _), (pw, _) = self.cfg.pad
+            y = glow_flow_stack(
+                p["flows"], w_all.swapaxes(1, 2), y, self.cfg.kernel,
+                (ph, pw), compute_dtype=self.cfg.compute_dtype,
+                interpret=jax.default_backend() != "tpu")
+            logdet = jnp.sum(ld_all)
+            # stacked per-flow actnorm params, same pytree as the scan's ys
+            stats = {"b": p["flows"]["actnorm"]["b"],
+                     "s": p["flows"]["actnorm"]["s"]}
+            return self._block_tail(p, y, logdet, stats, bsz, split)
+
         def body(carry, xs):
             flow_p, w, ld_pre = xs
             y, logdet = carry
@@ -360,6 +379,10 @@ class Glow:
             body = jax.checkpoint(body)
         (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), y.dtype)),
                                           (p["flows"], w_all, ld_all))
+        return self._block_tail(p, y, logdet, stats, bsz, split)
+
+    def _block_tail(self, p, y, logdet, stats, bsz, split: bool):
+        """Split + prior log-prob, shared by the scan and flow-stack paths."""
         if split:
             y, z_new = jnp.split(y, 2, axis=-1)
             mean, log_sd = jnp.split(self._zeroconv(p["prior"], y), 2,

@@ -1,4 +1,4 @@
-"""The ENTIRE Glow flow stack of one block as ONE Pallas kernel per direction.
+"""The Glow flow stack of one block as a handful of chunked Pallas kernels.
 
 Why: the per-flow decomposition — whether the stock XLA scan
 (models/glow.py:_block_fwd) or the per-coupling Pallas op
@@ -7,11 +7,14 @@ the activation round-trips HBM between flows, every custom call re-reads
 its weights, and XLA cannot fuse across the boundaries (measured: the
 per-coupling op is ~par per-op but 0.54-0.67x on the full step,
 benchmarks/glow_coupling_micro.py vs glow_fused_bench.py). This module
-instead runs ONE pallas_call per block per direction:
+instead runs a handful of pallas_calls per block per direction — flows in
+chunks of G (auto-sized so the per-call weight+grad VMEM residency fits;
+the whole-K=32 f=512 call measured over the 110 MB scope):
 
-* grid = batch tiles only; ALL K flows execute inside the kernel as a
-  ``lax.fori_loop``, the activation staying a VMEM loop value the whole way
-  (HBM activation traffic for a block: one read + one write, total),
+* grid = batch tiles only; the chunk's G flows execute inside the kernel
+  as a ``lax.fori_loop``, the activation staying a VMEM loop value across
+  them (HBM activation traffic per chunk boundary: one small c-wide
+  read + write — vs one per FLOW for the scan),
 * the packed per-flow weights (leading dim K) sit in VMEM for the whole
   sweep — fetched once per call, not once per flow per tile (~24 MB bf16
   at the reference f=512 K=32 — v5e has 128 MB of VMEM; the pallas_call
@@ -41,15 +44,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vgd_tpu.ops.glow_coupling import (_im2col, _pad_asym, _pad_hw,
-                                       _shift_sum)
+from vgd_tpu.ops.glow_coupling import _im2col, _pad_hw, _shift_sum
 
 F32 = jnp.float32
 
 _VMEM_LIMIT = 110 * 1024 * 1024
 # fraction of the limit the batch-tile sizer may fill (leaves headroom for
-# Mosaic's relayout temporaries, which its stack accounting bills on top)
-_FILL = 0.55
+# Mosaic's relayout temporaries, which its stack accounting bills ~3x on
+# top of the raw buffer estimate — measured: the whole-K=32 f=512 call
+# exceeds the 110 MB scope while the raw estimate said ~50 MB)
+_FILL = 0.3
+
+# Per-chunk VMEM budget for the flow weights + their f32 grad accumulators
+# (the quantity that scales with the number of flows resident in one
+# pallas_call). Keeping this small is what makes the kernel fit: flows are
+# processed in chunks of G <= K per call, chained in XLA — each extra chunk
+# costs one HBM round-trip of the SMALL (c-wide) activation, nothing else.
+_CHUNK_BUDGET = 24 * 1024 * 1024
+
+
+def _pick_chunk(K: int, c: int, f: int, taps: int, bt_hwc4: int,
+                cdb: int) -> int:
+    """Largest divisor of K whose per-call weight+grad residency fits."""
+    per_flow = (
+        f * f * (cdb + 4)                  # w2f + dw2
+        + 2 * taps * (c // 2) * f * (2 * cdb + 4)   # w1f/w1r/wzr/wzf + grads
+        + c * c * (4 + 4)                  # wt + dwt
+        + 8 * (2 * c + 2 * f + 2 * (c // 2))        # vectors
+        + bt_hwc4)                         # xsave tile per flow
+    g = min(K, max(1, _CHUNK_BUDGET // max(per_flow, 1)))
+    while K % g:
+        g -= 1
+    return g
 
 
 def _pick_bt(b: int, fixed: int, per_image: int) -> int:
@@ -148,7 +174,8 @@ def _bwd_kernel(xsave_ref, anb_ref, ans_ref, wt_ref, w1f_ref, w1r_ref,
                 b1_ref, w2_ref, b2_ref, wzr_ref, wzf_ref, bz_ref, sc_ref,
                 g_ref,
                 dx_ref, danb_ref, dans_ref, dwt_ref, dw1f_ref, db1_ref,
-                dw2_ref, db2_ref, dwzr_ref, dbz_ref, dsc_ref, *,
+                dw2_ref, db2_ref, dwzr_ref, dbz_ref, dsc_ref,
+                sg_ref, sr_ref, *,
                 hw, khw, pad, cd, n_flows):
     h, w = hw
     kh, kw = khw
@@ -166,6 +193,15 @@ def _bwd_kernel(xsave_ref, anb_ref, ans_ref, wt_ref, w1f_ref, w1r_ref,
         for ref in (danb_ref, dans_ref, dwt_ref, dw1f_ref, db1_ref,
                     dw2_ref, db2_ref, dwzr_ref, dbz_ref, dsc_ref):
             ref[:] = jnp.zeros_like(ref)
+
+    # Padded canvases for the grad tensors live in VMEM SCRATCH, assembled
+    # by static-slice interior stores over a zeroed border: Mosaic CRASHES
+    # (helper exit 1, no diagnostic) when concatenate-based pads of the
+    # in-kernel grads coexist with the _coupling_fwd recompute's own pads
+    # in one kernel (measured on v5e; each half compiles alone). The border
+    # is zeroed once per grid step; every flow only rewrites the interior.
+    sg_ref[:] = jnp.zeros_like(sg_ref)
+    sr_ref[:] = jnp.zeros_like(sr_ref)
 
     def body(i, g):
         k = n_flows - 1 - i
@@ -195,17 +231,21 @@ def _bwd_kernel(xsave_ref, anb_ref, ans_ref, wt_ref, w1f_ref, w1r_ref,
         dbz_ref[k] += jnp.sum(g_s, axis=0)
         g_s16 = g_s.astype(cd).reshape(bt, h, w, ch)
 
+        # grad canvas: g at offset (2ph, 2pw) in a (h+4ph, w+4pw) zero field
+        sg_ref[:, 2 * ph:2 * ph + h, 2 * pw:2 * pw + w, :] = g_s16
+        sg = sg_ref[:]
         if kh * kw > 1:
+            # tap placement (dy, dx) on the (hp, wp) grid == canvas slice
             G = jnp.concatenate(
-                [_pad_asym(g_s16, dy, 2 * ph - dy, dx, 2 * pw - dx,
-                           0.0).reshape(np_, -1)
+                [sg[:, 2 * ph - dy:2 * ph - dy + hp,
+                    2 * pw - dx:2 * pw - dx + wp, :].reshape(np_, -1)
                  for dy in range(kh) for dx in range(kw)], axis=-1)
         else:
             G = g_s16.reshape(np_, -1)
         dwzr_ref[k] += jnp.dot(h2p.reshape(np_, f).T, G,
                                preferred_element_type=F32)
 
-        g_p = _pad_hw(g_s16, ph, pw, 0.0)
+        g_p = sg[:, ph:ph + hp, pw:pw + wp, :]
         dh2 = jnp.dot(_im2col(g_p, h, w, kh, kw), wzf,
                       preferred_element_type=F32)
         dh2 = jnp.where(h2.astype(F32) > 0, dh2, 0.0)
@@ -223,7 +263,8 @@ def _bwd_kernel(xsave_ref, anb_ref, ans_ref, wt_ref, w1f_ref, w1r_ref,
 
         r2 = jnp.dot(dh1_16, w1r,
                      preferred_element_type=F32).reshape(bt, h, w, -1)
-        r2p = _pad_hw(r2, ph, pw, 0.0)
+        sr_ref[:, ph:ph + h, pw:pw + w, :] = r2
+        r2p = sr_ref[:]
         dya_nn = None
         for dy in range(kh):
             for dx in range(kw):
@@ -246,6 +287,10 @@ def _bwd_kernel(xsave_ref, anb_ref, ans_ref, wt_ref, w1f_ref, w1r_ref,
         danb_ref[k] += jnp.sum(dx.reshape(n, c), axis=0)
         return dx
 
+    # fori_loop (not a static unroll): the body holds ~30 f=512 matmul/conv
+    # ops — unrolled G times the Mosaic program gets big enough to OOM the
+    # remote compile helper (SIGKILL, measured). Dynamic-index RMW on the
+    # grad refs compiles fine (minimal-repro verified).
     dx_ref[:] = jax.lax.fori_loop(0, n_flows, body, g_ref[:])
 
 
@@ -268,7 +313,7 @@ def _pack(w1, w2, wz, cd):
 def _common_sizes(x, f, K, taps, cd_bytes):
     b, h, w, c = x.shape
     per_image_fwd = h * w * f * 8 + (h + 2) * (w + 2) * f * 2 \
-        + h * w * c * 8
+        + h * w * c * 8 + K * h * w * c * 4   # + the xsave tile block
     per_image_bwd = h * w * f * 14 + (h + 2) * (w + 2) * f * 2 \
         + h * w * c * 16 + K * h * w * c * 4   # + the xsave tile block
     return b, h, w, c, per_image_fwd, per_image_bwd
@@ -324,6 +369,12 @@ def _make_stack(khw: Tuple[int, int], pad: Tuple[int, int], cd_name,
         K = an_b.shape[0]
         f = w2.shape[-1]
         b, h, w_, c, _, per_bwd = _common_sizes(g, f, K, taps, cd.itemsize)
+        kh_, kw_ = khw
+        ph_, pw_ = pad
+        ch = c // 2
+        # + the two scratch canvases (padded grad field + r2 field)
+        per_bwd += ((h + 4 * ph_) * (w_ + 4 * pw_) * ch * cd.itemsize
+                    + (h + 2 * ph_) * (w_ + 2 * pw_) * taps * ch * 4)
         w1f, w1r, wzr, wzf, w2f = _pack(w1, w2, wz, cd)
         fixed = _tree_bytes(w1f, w1r, wzr, wzf, w2f) \
             + 2 * _tree_bytes(w1f, wzr, w2f) \
@@ -363,6 +414,11 @@ def _make_stack(khw: Tuple[int, int], pad: Tuple[int, int], cd_name,
             ],
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((bt, h + 4 * ph_, w_ + 4 * pw_, ch), cd),
+                pltpu.VMEM((bt, h + 2 * ph_, w_ + 2 * pw_, taps * ch),
+                           F32),
+            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
@@ -402,19 +458,34 @@ def _make_stack(khw: Tuple[int, int], pad: Tuple[int, int], cd_name,
 
 def glow_flow_stack(flows, wt_all, x, khw: Tuple[int, int],
                     pad: Tuple[int, int], compute_dtype=jnp.bfloat16,
-                    interpret: bool = False):
-    """Run ALL K flows of one block on x (B, H, W, C) in one kernel pair.
+                    interpret: bool = False, chunk: int = None):
+    """Run ALL K flows of one block on x (B, H, W, C), VMEM-resident.
 
     flows: the stacked flow params of models/glow.py ({'actnorm', 'invconv',
     'coupling'} with leading K). wt_all: (K, c, c) — TRANSPOSED PLU weights
     ``vmap(plu_weight)(invconv).swapaxes(1,2)`` assembled by the caller in
     XLA so invconv grads flow through the assembly by ordinary autodiff.
     Returns y (B, H, W, C) f32. Logdet is the caller's (params-only).
+
+    Flows run in chunks of G per pallas_call (G = ``chunk`` or auto-sized so
+    the per-call weight+grad residency fits VMEM); chunk calls chain in XLA,
+    each boundary costing one HBM round-trip of the small c-wide activation.
     """
+    kh, kw = khw
+    K, c, _ = wt_all.shape
+    b, h, w, _ = x.shape
+    f = flows["coupling"]["conv2"]["w"].shape[-1]
+    cdb = jnp.dtype(compute_dtype).itemsize
+    g = chunk or _pick_chunk(K, c, f, kh * kw, h * w * c * 4, cdb)
     fn = _make_stack(tuple(khw), tuple(pad),
                      jnp.dtype(compute_dtype).name, interpret)
     cpl = flows["coupling"]
-    return fn(x, flows["actnorm"]["b"], flows["actnorm"]["s"], wt_all,
-              cpl["conv1"]["w"], cpl["conv1"]["b"], cpl["conv2"]["w"],
-              cpl["conv2"]["b"], cpl["zero"]["w"], cpl["zero"]["b"],
-              cpl["zero"]["scale"])
+    y = x
+    for s in range(0, K, g):
+        sl = lambda a: a[s:s + g]
+        y = fn(y, sl(flows["actnorm"]["b"]), sl(flows["actnorm"]["s"]),
+               sl(wt_all), sl(cpl["conv1"]["w"]), sl(cpl["conv1"]["b"]),
+               sl(cpl["conv2"]["w"]), sl(cpl["conv2"]["b"]),
+               sl(cpl["zero"]["w"]), sl(cpl["zero"]["b"]),
+               sl(cpl["zero"]["scale"]))
+    return y

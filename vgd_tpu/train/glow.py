@@ -76,7 +76,8 @@ class GlowTrainer(_GlowTrainerBase):
                           filter_size=cfg.filter_size, compute_dtype=dtype,
                           remat=getattr(cfg, "remat", False),
                           fused_coupling=getattr(cfg, "fused_coupling",
-                                                 False))
+                                                 False),
+                          flow_stack=getattr(cfg, "flow_stack", False))
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.n_bins = 2.0 ** cfg.n_bits

@@ -136,12 +136,13 @@ def _glow_state_placement(mesh, state, cfg):
     from vgd_tpu.parallel.mesh import MODEL_AXIS
     if mesh.shape[MODEL_AXIS] <= 1:
         return _dp_state(mesh, state)
-    if getattr(cfg, "fused_coupling", False):
+    if getattr(cfg, "fused_coupling", False) or \
+            getattr(cfg, "flow_stack", False):
         raise ValueError(
-            "--mesh-model > 1 is incompatible with --fused-coupling: the "
-            "Pallas coupling kernel cannot be auto-partitioned over the "
-            "filter axis (XLA shards only its batch grid). Drop one of the "
-            "two flags.")
+            "--mesh-model > 1 is incompatible with --fused-coupling/"
+            "--flow-stack: a Pallas coupling kernel cannot be "
+            "auto-partitioned over the filter axis (XLA shards only its "
+            "batch grid). Drop one of the flags.")
     from vgd_tpu.parallel.tensor_parallel import shard_glow_state
     return shard_glow_state(mesh, state, cfg.filter_size)
 
