@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--modes", nargs="*",
                     default=["stock", "coupling", "stack"],
-                    choices=["stock", "coupling", "stack"])
+                    help="stock | coupling | stack | stackN (N = squeezed "
+                    "h*w threshold: kernel only on blocks with h*w <= N, "
+                    "e.g. stack64 = the 8x8-and-smaller deep blocks)")
     a = ap.parse_args()
 
     import jax
@@ -62,12 +64,16 @@ def main():
             0, 255, (b, s, s, 3)).astype(np.uint8)
         row = {"batch": b}
         for tag in a.modes:
+            if tag.startswith("stack") and tag != "stack":
+                flow_stack = int(tag[len("stack"):])
+            else:
+                flow_stack = tag == "stack"
             cfg = GlowConfig(
                 data=DataConfig(batch_size=b, image_size=(s, s),
                                 normalize=False),
                 run=RunConfig(compute_dtype=a.compute_dtype),
                 fused_coupling=tag == "coupling",
-                flow_stack=tag == "stack")
+                flow_stack=flow_stack)
             tr = GlowTrainer(cfg, (s, s, 3))
             st = tr.init(key, b)
             st = tr.init_step(st, jnp.asarray(batch), key)

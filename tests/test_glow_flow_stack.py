@@ -133,3 +133,40 @@ def test_train_step_trajectory_matches_stock():
         losses[fs] = traj
     np.testing.assert_allclose(losses[True], losses[False],
                                rtol=2e-3, atol=1e-4)
+
+
+def test_flow_stack_threshold_selects_small_blocks(monkeypatch):
+    """int-valued flow_stack applies the kernel only to blocks whose
+    squeezed h*w is at or under the threshold; the rest keep the scan."""
+    import vgd_tpu.ops.glow_flow_stack as gfs
+
+    calls = []
+    real = gfs.glow_flow_stack
+
+    def spy(flows, wt, y, *a, **kw):
+        calls.append(y.shape[1] * y.shape[2])
+        return real(flows, wt, y, *a, **kw)
+
+    monkeypatch.setattr(gfs, "glow_flow_stack", spy)
+
+    key = jax.random.key(3)
+    stock = Glow(n_flows=2, n_blocks=2, filter_size=16)
+    params = stock.init(key)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 3))
+    lp0, ld0, _ = stock.forward(params, x)
+
+    # blocks squeeze to 4x4x12 (hw=16) then 2x2x24 (hw=4): threshold 4
+    # must route ONLY the deep block through the kernel
+    hybrid = Glow(n_flows=2, n_blocks=2, filter_size=16, flow_stack=4)
+    lp1, ld1, _ = hybrid.forward(params, x)
+    assert calls == [4]
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp0),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld1), np.asarray(ld0),
+                               rtol=1e-5, atol=1e-5)
+
+    calls.clear()
+    assert Glow(filter_size=16, flow_stack=False)._use_flow_stack(4) is False
+    assert Glow(filter_size=16, flow_stack=True)._use_flow_stack(4096) is True
+    assert Glow(filter_size=16, flow_stack=16)._use_flow_stack(16) is True
+    assert Glow(filter_size=16, flow_stack=16)._use_flow_stack(64) is False

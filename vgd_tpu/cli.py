@@ -146,11 +146,15 @@ def main(argv=None):
                            help="Pallas fused coupling NN: the whole "
                            "conv-relu-conv-relu-zeroconv chain per flow "
                            "stays in VMEM (ops/glow_coupling.py)")
-            p.add_argument("--flow-stack", action="store_true",
+            p.add_argument("--flow-stack", nargs="?", const="all",
+                           default=None, metavar="POSITIONS",
                            help="ONE Pallas kernel per block per direction "
                            "for the whole K-flow stack, activation "
                            "VMEM-resident across flows "
-                           "(ops/glow_flow_stack.py)")
+                           "(ops/glow_flow_stack.py). Bare flag = every "
+                           "block; an int N = only blocks whose squeezed "
+                           "h*w <= N (e.g. 256: the 16x16-and-smaller "
+                           "deep blocks where the scan is launch-bound)")
         if name == "glow-eeg":
             p.add_argument("--event-type", default="mi",
                            choices=["mi", "baseline"])
@@ -275,8 +279,9 @@ def main(argv=None):
             **({"remat": True} if getattr(a, "remat", False) else {}),
             **({"fused_coupling": True}
                if getattr(a, "fused_coupling", False) else {}),
-            **({"flow_stack": True}
-               if getattr(a, "flow_stack", False) else {}))
+            **({"flow_stack": True if a.flow_stack == "all"
+                else int(a.flow_stack)}
+               if getattr(a, "flow_stack", None) is not None else {}))
         L.run_glow(cfg, resume=a.resume)
     elif a.cmd == "glow-eeg":
         cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)

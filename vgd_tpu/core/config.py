@@ -167,8 +167,11 @@ class GlowConfig:
     fused_coupling: bool = False
     # Strongest fusion: each block's whole K-flow stack (actnorm -> PLU 1x1
     # -> coupling) as ONE Pallas kernel per direction with weights
-    # VMEM-resident (ops/glow_flow_stack.py); training forward only
-    flow_stack: bool = False
+    # VMEM-resident (ops/glow_flow_stack.py); training forward only.
+    # True = every block; an int = only blocks with squeezed h*w <= it
+    # (the deep launch-latency-bound blocks — XLA wins the big ones,
+    # benchmarks/glow_fused_bench.py)
+    flow_stack: "bool | int" = False
 
 
 @dataclass(frozen=True)

@@ -186,12 +186,24 @@ class Glow:
         # intermediates' HBM round trips that cap the scan at ~24% of the
         # HBM roofline (BASELINE.md Glow row).
         self.fused_coupling = fused_coupling
-        # Strongest form: the ENTIRE K-flow stack of each block as ONE
+        # Strongest form: the ENTIRE K-flow stack of a block as ONE
         # Pallas kernel per direction (ops/glow_flow_stack.py) — the
         # activation never leaves VMEM between flows. Training forward
         # only; ActNorm-init and the reverse/sampling path keep the
-        # per-flow code.
+        # per-flow code. True = every block; an int = only blocks whose
+        # squeezed position count h*w is <= that threshold (the small
+        # deep blocks, where the per-flow scan is launch-latency-bound
+        # while XLA's large-matmul code wins the big early blocks —
+        # benchmarks/glow_fused_bench.py --modes stock stack).
         self.flow_stack = flow_stack
+
+    def _use_flow_stack(self, hw: int) -> bool:
+        fs = self.flow_stack
+        if fs is True:
+            return True
+        if fs is False or fs is None:
+            return False
+        return hw <= int(fs)
 
     # -- init ---------------------------------------------------------------
     def init(self, key: jax.Array) -> Dict:
@@ -355,7 +367,7 @@ class Glow:
             jnp.sum(jnp.log(jnp.abs(p["flows"]["actnorm"]["s"])), axis=1)
             + jnp.sum(p["flows"]["invconv"]["log_s"], axis=1))
 
-        if self.flow_stack and not init:
+        if self._use_flow_stack(hw) and not init:
             from vgd_tpu.ops.glow_flow_stack import glow_flow_stack
             (ph, _), (pw, _) = self.cfg.pad
             y = glow_flow_stack(

@@ -48,7 +48,7 @@ from vgd_tpu.ops.glow_coupling import _im2col, _pad_hw, _shift_sum
 
 F32 = jnp.float32
 
-_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_LIMIT = 120 * 1024 * 1024
 # fraction of the limit the batch-tile sizer may fill (leaves headroom for
 # Mosaic's relayout temporaries, which its stack accounting bills ~3x on
 # top of the raw buffer estimate — measured: the whole-K=32 f=512 call
