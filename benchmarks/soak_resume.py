@@ -33,6 +33,8 @@ def family_cmd(a, out):
             "--batch-size", str(a.batch_size),
             "--dataset-size", str(a.dataset_size),
             "--image-size", str(a.image_size)]
+    if a.device:
+        base += ["--device", a.device]
     return base
 
 
@@ -55,10 +57,24 @@ def main():
     ap.add_argument("--image-size", type=int, default=64)
     ap.add_argument("--kill-after", type=float, default=300.0,
                     help="seconds before the mid-run SIGKILL")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                    help="forwarded to the CLI (cpu = accelerator-free "
+                    "harness drill)")
+    ap.add_argument("--resume-wait", type=float, default=95.0,
+                    help="seconds between kill and resume (chip lease "
+                    "release lag; 0 for cpu)")
     ap.add_argument("--out", default="/tmp/vgd_soak")
+    ap.add_argument("--analyze-only", action="store_true",
+                    help="skip training; re-run the assertions on an "
+                    "existing --out dir (e.g. after fixing the harness)")
     a = ap.parse_args()
 
     out = a.out
+    if a.analyze_only:
+        killed = True
+        rows1 = []
+        _finish(a, out, killed, rows1)
+        return
     shutil.rmtree(out, ignore_errors=True)
     cmd = family_cmd(a, out)
     print("[soak] leg 1:", " ".join(cmd), flush=True)
@@ -80,7 +96,7 @@ def main():
 
     if killed:
         # chip lease release lag between consecutive TPU processes
-        time.sleep(95)
+        time.sleep(a.resume_wait if a.device != "cpu" else 0)
         cmd2 = cmd + ["--resume"]
         print("[soak] leg 2 (resume):", " ".join(cmd2), flush=True)
         t1 = time.perf_counter()
@@ -88,11 +104,15 @@ def main():
         assert r.returncode == 0, f"resume leg failed rc={r.returncode}"
         print(f"[soak] resume leg done in {time.perf_counter() - t1:.0f}s")
 
+    _finish(a, out, killed, rows1)
+
+
+def _finish(a, out, killed, rows1):
     rows = read_metrics(out)
     assert rows, "no metrics logged"
     bad = [r for r in rows for v in r.values()
            if isinstance(v, float) and (v != v or abs(v) == float("inf"))]
-    epochs_seen = sorted({r.get("epoch") for r in rows
+    epochs_seen = sorted({int(r["epoch"]) for r in rows
                           if r.get("epoch") is not None})
     ckpts = sorted(os.listdir(os.path.join(out, "ckpt"))) \
         if os.path.isdir(os.path.join(out, "ckpt")) else []

@@ -304,3 +304,18 @@ def test_cli_wgan_defaults_reference_epochs(monkeypatch):
     assert seen["cfg"].epochs == 150 and not seen["cfg"].wgan
     cli.main(["wgan", "--epochs", "7"])
     assert seen["cfg"].epochs == 7
+
+
+def test_cli_device_flag(tmp_path):
+    """--device cpu forces the platform via the config API before backend
+    use; in-process it is a no-op re-pin of the conftest's cpu platform,
+    so the run must succeed identically (the flag exists so CLI
+    subprocesses can run accelerator-free — benchmarks/soak_resume.py)."""
+    d = str(tmp_path / "dev")
+    rc = cli.main(["vae", "--epochs", "1", "--steps-per-epoch", "1",
+                   "--batch-size", "4", "--dataset-size", "8",
+                   "--out-dir", d, "--device", "cpu",
+                   "--compute-dtype", "float32"])
+    assert rc == 0
+    import jax
+    assert jax.default_backend() == "cpu"

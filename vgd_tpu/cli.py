@@ -70,6 +70,14 @@ def _add_common(p):
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() before backend use "
                    "(TPU pods; mesh then spans all hosts)")
+    p.add_argument("--device", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force the jax platform (config API, before first "
+                   "backend touch — env vars cannot override a registered "
+                   "plugin). cpu enables accelerator-free smoke runs")
+    p.add_argument("--num-cpu-devices", type=int, default=None,
+                   help="with --device cpu: number of virtual CPU devices "
+                   "(mesh smoke tests)")
     p.add_argument("--mesh-data", type=int, default=None,
                    help="data-parallel mesh axis size (-1 = all devices "
                    "not used by --mesh-model; default -1)")
@@ -234,6 +242,15 @@ def main(argv=None):
     p.add_argument("--n-samples", type=int, default=288)
 
     a = ap.parse_args(argv)
+    if getattr(a, "device", None):
+        # Must precede the first backend touch. The config API is the only
+        # reliable override on hosts where an accelerator plugin registers
+        # itself from sitecustomize (env vars are read before that).
+        import jax
+
+        jax.config.update("jax_platforms", a.device)
+        if a.device == "cpu" and getattr(a, "num_cpu_devices", None):
+            jax.config.update("jax_num_cpu_devices", a.num_cpu_devices)
     from vgd_tpu.train import loop as L
 
     if a.cmd == "vaegan":
