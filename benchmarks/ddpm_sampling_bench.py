@@ -28,9 +28,14 @@ def main():
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                    help="force the jax platform (cpu = harness drill)")
     a = ap.parse_args()
 
     import jax
+
+    if a.device:
+        jax.config.update("jax_platforms", a.device)
     import jax.numpy as jnp
 
     from vgd_tpu.core.config import DataConfig, DiffusionConfig, RunConfig
