@@ -29,10 +29,42 @@ import time
 BASELINE_TRAIN_IPS = 18.93  # reference torch CPU, measured (see docstring)
 
 
+def _backend_watchdog(seconds=300):
+    """Fail loud instead of hanging forever when the TPU tunnel is dead.
+
+    If the axon relay process is down, jax backend init blocks
+    indefinitely (observed 2026-08-18: no listener on the relay port, every
+    init hangs past 15 min). A hung bench gives the driver a silent stall;
+    this prints a diagnostic JSON line and exits non-zero once init has
+    clearly failed. Disarmed as soon as the backend answers.
+    """
+    import os
+    import threading
+
+    seconds = float(os.environ.get("VGD_BENCH_INIT_TIMEOUT", seconds))
+
+    def _fire():
+        print(json.dumps({
+            "metric": "train_images_per_sec_per_chip",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "error": f"backend init exceeded {seconds}s — TPU tunnel "
+                     "relay down? (ss -tln | grep 8093)"}), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _backend_watchdog()
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    jax.devices()          # force backend init under the watchdog
+    watchdog.cancel()
 
     from vgd_tpu.core.config import DataConfig, VAEGANConfig
     from vgd_tpu.data.celeba import synthetic_faces
