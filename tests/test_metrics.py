@@ -138,3 +138,65 @@ def test_metric_accumulator_padded_batch_unbiased():
     out_true, out_pad = acc_true.compute(), acc_pad.compute()
     for k in out_true:
         assert out_pad[k] == pytest.approx(out_true[k], rel=1e-5), k
+
+
+# ---------------------------------------------------------------------------
+# Manifold precision / recall (Kynkaanniemi et al. 2019)
+# ---------------------------------------------------------------------------
+
+def test_manifold_pr_identical_sets_are_perfect():
+    from vgd_tpu.eval.metrics import manifold_precision_recall
+    rng = np.random.default_rng(0)
+    feats = rng.normal(0, 1, (200, 16))
+    out = manifold_precision_recall(feats, feats.copy(), k=3)
+    assert out["precision"] == pytest.approx(1.0)
+    assert out["recall"] == pytest.approx(1.0)
+    assert out["f1"] == pytest.approx(1.0)
+
+
+def test_manifold_pr_disjoint_sets_are_zero():
+    from vgd_tpu.eval.metrics import manifold_precision_recall
+    rng = np.random.default_rng(1)
+    real = rng.normal(0, 0.5, (150, 8))
+    fake = rng.normal(100.0, 0.5, (150, 8))
+    out = manifold_precision_recall(real, fake, k=3)
+    assert out["precision"] == 0.0
+    assert out["recall"] == 0.0
+    assert out["f1"] == 0.0
+
+
+def test_manifold_pr_mode_collapse_high_precision_low_recall():
+    """Fake = a tight cluster inside the real manifold: every fake sample is
+    on-manifold (precision ~1) but covers little of it (recall << 1)."""
+    from vgd_tpu.eval.metrics import manifold_precision_recall
+    rng = np.random.default_rng(2)
+    real = rng.normal(0, 1.0, (400, 8))
+    fake = rng.normal(0, 0.01, (400, 8))
+    out = manifold_precision_recall(real, fake, k=3)
+    assert out["precision"] > 0.9
+    assert out["recall"] < 0.3
+    assert 0 <= out["f1"] <= 1
+
+
+def test_manifold_pr_too_few_samples_returns_nan():
+    from vgd_tpu.eval.metrics import manifold_precision_recall
+    out = manifold_precision_recall(np.zeros((2, 4)), np.zeros((10, 4)), k=3)
+    assert np.isnan(out["precision"])
+
+
+def test_metric_accumulator_reports_manifold_pr():
+    rng = np.random.default_rng(4)
+
+    def fake_features(x_uint8):
+        flat = x_uint8.reshape(len(x_uint8), -1).astype(np.float32) / 255.0
+        return flat[:, :16], flat[:, :10]
+
+    acc = MetricAccumulator(feature_fn=fake_features)
+    for _ in range(2):
+        real = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)), jnp.float32)
+        fake = jnp.clip(real + 0.1 * rng.normal(0, 1, real.shape)
+                        .astype(np.float32), 0, 1)
+        acc.update(fake, real)
+    out = acc.compute()
+    for k in ("precision", "recall", "f1"):
+        assert k in out and 0.0 <= out[k] <= 1.0

@@ -143,6 +143,64 @@ def inception_score_from_logits(logits: np.ndarray,
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def _knn_radii(feat: np.ndarray, k: int, block: int = 2048) -> np.ndarray:
+    """Distance from each row to its k-th nearest OTHER row (blocked O(N^2))."""
+    n = feat.shape[0]
+    sq = np.sum(feat * feat, axis=1)
+    radii = np.empty(n, np.float64)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        d2 = sq[s:e, None] + sq[None, :] - 2.0 * (feat[s:e] @ feat.T)
+        np.maximum(d2, 0.0, out=d2)
+        d2[np.arange(s, e) - s, np.arange(s, e)] = np.inf  # exclude self
+        # k-th smallest distance (k=1 -> nearest neighbor)
+        radii[s:e] = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
+    return radii
+
+
+def _covered_fraction(query: np.ndarray, support: np.ndarray,
+                      radii: np.ndarray, block: int = 2048) -> float:
+    """Fraction of query rows lying within any support row's k-NN ball."""
+    sq_s = np.sum(support * support, axis=1)
+    sq_q = np.sum(query * query, axis=1)
+    r2 = radii * radii
+    hits = 0
+    for s in range(0, query.shape[0], block):
+        e = min(s + block, query.shape[0])
+        d2 = sq_q[s:e, None] + sq_s[None, :] - 2.0 * (query[s:e] @ support.T)
+        np.maximum(d2, 0.0, out=d2)
+        hits += int(np.any(d2 <= r2[None, :], axis=1).sum())
+    return hits / max(query.shape[0], 1)
+
+
+def manifold_precision_recall(feat_real: np.ndarray, feat_fake: np.ndarray,
+                              k: int = 3) -> Dict[str, float]:
+    """Improved precision/recall for generative models (Kynkaanniemi et al.
+    2019): each set's manifold is the union of k-NN balls around its samples.
+
+    precision = fraction of fake samples inside the REAL manifold (fidelity);
+    recall    = fraction of real samples inside the FAKE manifold (coverage);
+    f1        = their harmonic mean.
+
+    The reference's README names manifold Precision/Recall/F1 as intended
+    metrics (README.md:22) but never implements them; this completes that
+    capability on the same Inception features FID already accumulates.
+    Requires > k samples per set; returns NaNs otherwise.
+    """
+    feat_real = np.asarray(feat_real, np.float64)
+    feat_fake = np.asarray(feat_fake, np.float64)
+    if feat_real.shape[0] <= k or feat_fake.shape[0] <= k:
+        return {"precision": float("nan"), "recall": float("nan"),
+                "f1": float("nan")}
+    rad_real = _knn_radii(feat_real, k)
+    rad_fake = _knn_radii(feat_fake, k)
+    precision = _covered_fraction(feat_fake, feat_real, rad_real)
+    recall = _covered_fraction(feat_real, feat_fake, rad_fake)
+    f1 = (2 * precision * recall / (precision + recall)
+          if (precision + recall) > 0 else 0.0)
+    return {"precision": precision, "recall": recall, "f1": f1}
+
+
 class MetricAccumulator:
     """Streaming evaluation over batches, mirroring the reference's
     per-epoch torchmetrics update/compute loop (vaegan_code.py:143-185):
@@ -152,8 +210,9 @@ class MetricAccumulator:
     logits)); see vgd_tpu.eval.inception.load_inception.
     """
 
-    def __init__(self, feature_fn=None):
+    def __init__(self, feature_fn=None, manifold_k: Optional[int] = 3):
         self.feature_fn = feature_fn
+        self.manifold_k = manifold_k
         self.reset()
 
     def reset(self):
@@ -199,4 +258,10 @@ class MetricAccumulator:
             is_mean, is_std = inception_score_from_logits(logits)
             out["inception_score"] = is_mean
             out["inception_score_std"] = is_std
+            if self.manifold_k is not None:
+                pr = manifold_precision_recall(feat_real, feat_fake,
+                                               k=self.manifold_k)
+                out["precision"] = pr["precision"]
+                out["recall"] = pr["recall"]
+                out["f1"] = pr["f1"]
         return out
