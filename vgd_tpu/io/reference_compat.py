@@ -49,21 +49,44 @@ def install_stubs() -> None:
     tv_d_f = _stub("torchvision.datasets.folder",
                    default_loader=lambda p: None)
     tv_d.folder = tv_d_f
-    tv.transforms, tv.datasets = tv_t, tv_d
+    tv_u = _stub("torchvision.utils", save_image=lambda *a, **k: None)
+    tv.transforms, tv.datasets, tv.utils = tv_t, tv_d, tv_u
+    tm_fid = _stub("torchmetrics.image.fid",
+                   FrechetInceptionDistance=metric)
+    tm_img.fid = tm_fid
+    # flow_eeg.py:340 imports mne at module level for its plotting helpers
+    # (absent from this image; never touched by the model classes)
+    _stub("mne", create_info=lambda *a, **k: None,
+          io=types.SimpleNamespace(RawArray=None))
+    # The reference left stray breakpoint() calls in its Glow reverse/train
+    # paths (nf_code.py:447,587,684 — debug artifacts, SURVEY.md §2a #12);
+    # neutralise them so the parity harness can drive those code paths.
+    import os
+    os.environ.setdefault("PYTHONBREAKPOINT", "0")
 
 
 def import_reference(path: str = REFERENCE_PATH):
-    """Returns a namespace with the reference's gan_code and main_vae
-    modules imported from ``path`` (raises ImportError/FileNotFoundError if
-    the checkout is absent)."""
+    """Returns a namespace with the reference's model-bearing modules
+    imported from ``path`` (raises ImportError/FileNotFoundError if the
+    checkout is absent): gan_code, main_vae, nf_code (2-D Glow), flow_eeg
+    (1-D EEG Glow), diffusion_model / diffusion_model_no_attn (UNets), and
+    train_diffusion (schedule + q_sample + loss)."""
     import os
     if not os.path.isdir(path):
         raise FileNotFoundError(f"reference checkout not found at {path}")
     install_stubs()
     sys.path.insert(0, path)
     try:
+        import diffusion_model
+        import diffusion_model_no_attn
+        import flow_eeg
         import gan_code
         import main_vae
+        import nf_code
+        import train_diffusion
     finally:
         sys.path.remove(path)
-    return types.SimpleNamespace(gan=gan_code, vae=main_vae)
+    return types.SimpleNamespace(gan=gan_code, vae=main_vae, nf=nf_code,
+                                 eeg=flow_eeg, unet=diffusion_model,
+                                 unet_na=diffusion_model_no_attn,
+                                 diff=train_diffusion)
