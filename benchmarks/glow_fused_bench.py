@@ -31,7 +31,8 @@ def main():
                     default=["stock", "coupling", "stack"],
                     help="stock | coupling | stack | stackN (N = squeezed "
                     "h*w threshold: kernel only on blocks with h*w <= N, "
-                    "e.g. stack64 = the 8x8-and-smaller deep blocks)")
+                    "e.g. stack64 = the 8x8-and-smaller deep blocks) | "
+                    "unrollN (lax.scan unroll=N on the flow chain)")
     a = ap.parse_args()
 
     import jax
@@ -68,12 +69,15 @@ def main():
                 flow_stack = int(tag[len("stack"):])
             else:
                 flow_stack = tag == "stack"
+            unroll = int(tag[len("unroll"):]) if tag.startswith("unroll") \
+                else 1
             cfg = GlowConfig(
                 data=DataConfig(batch_size=b, image_size=(s, s),
                                 normalize=False),
                 run=RunConfig(compute_dtype=a.compute_dtype),
                 fused_coupling=tag == "coupling",
-                flow_stack=flow_stack)
+                flow_stack=flow_stack,
+                scan_unroll=unroll)
             tr = GlowTrainer(cfg, (s, s, 3))
             st = tr.init(key, b)
             st = tr.init_step(st, jnp.asarray(batch), key)

@@ -172,6 +172,12 @@ class GlowConfig:
     # (the deep launch-latency-bound blocks — XLA wins the big ones,
     # benchmarks/glow_fused_bench.py)
     flow_stack: "bool | int" = False
+    # lax.scan unroll factor for the per-flow chain: >1 inlines that many
+    # flow bodies per loop iteration, letting XLA fuse across flow
+    # boundaries and amortise loop overhead in the launch-latency-bound
+    # small-batch regime (benchmarks/glow_unroll_bench.py). Math-identical
+    # to unroll=1 (same ops, same order).
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

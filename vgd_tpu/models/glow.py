@@ -173,7 +173,8 @@ class Glow:
 
     def __init__(self, in_channels=3, n_flows=32, n_blocks=4,
                  variant="image", filter_size=512, compute_dtype=F32,
-                 remat=False, fused_coupling=False, flow_stack=False):
+                 remat=False, fused_coupling=False, flow_stack=False,
+                 scan_unroll=1):
         self.cfg = GlowConfigBase(in_channels, n_flows, n_blocks, variant,
                                   filter_size, compute_dtype)
         # jax.checkpoint on the per-flow scan body: activation memory drops
@@ -196,6 +197,12 @@ class Glow:
         # while XLA's large-matmul code wins the big early blocks —
         # benchmarks/glow_fused_bench.py --modes stock stack).
         self.flow_stack = flow_stack
+        # lax.scan unroll for the K-flow chain (fwd + reverse): >1 inlines
+        # that many flow bodies per loop iteration so XLA can fuse across
+        # flow boundaries (actnorm of flow i+1 into the coupling add of
+        # flow i) and amortise loop overhead — targets the launch-bound
+        # small-batch regime identified by benchmarks/glow_flops.py.
+        self.scan_unroll = int(scan_unroll)
 
     def _use_flow_stack(self, hw: int) -> bool:
         fs = self.flow_stack
@@ -390,7 +397,8 @@ class Glow:
         if self.remat:
             body = jax.checkpoint(body)
         (y, logdet), stats = jax.lax.scan(body, (y, jnp.zeros((), y.dtype)),
-                                          (p["flows"], w_all, ld_all))
+                                          (p["flows"], w_all, ld_all),
+                                          unroll=self.scan_unroll)
         return self._block_tail(p, y, logdet, stats, bsz, split)
 
     def _block_tail(self, p, y, logdet, stats, bsz, split: bool):
@@ -428,7 +436,7 @@ class Glow:
             return self._flow_rev(flow_p, carry), None
 
         x, _ = jax.lax.scan(body, self._rev_guard(x), p["flows"],
-                            reverse=True)
+                            reverse=True, unroll=self.scan_unroll)
         return self._unsqueeze(x)
 
     # -- model --------------------------------------------------------------

@@ -77,7 +77,8 @@ class GlowTrainer(_GlowTrainerBase):
                           remat=getattr(cfg, "remat", False),
                           fused_coupling=getattr(cfg, "fused_coupling",
                                                  False),
-                          flow_stack=getattr(cfg, "flow_stack", False))
+                          flow_stack=getattr(cfg, "flow_stack", False),
+                          scan_unroll=getattr(cfg, "scan_unroll", 1))
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.n_bins = 2.0 ** cfg.n_bits
