@@ -82,7 +82,8 @@ def test_train_step_loss_decreases():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
-    assert np.isfinite(float(tr.eval_loss(state, batch, KEY)))
+    vl = tr.eval_loss(state, batch, KEY)      # per-sample eps-MSE
+    assert vl.shape == (batch.shape[0],) and np.isfinite(np.asarray(vl)).all()
 
 
 def test_ancestral_sampler_masking():

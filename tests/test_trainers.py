@@ -173,3 +173,38 @@ def test_vaegan_epoch_scan_matches_sequential():
                     jax.tree_util.tree_leaves(s_seq.encoder.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
     assert np.isfinite(float(m_scan["recon"]))
+
+
+def test_val_loss_ignores_padded_rows():
+    """The eval loaders pad the last batch by repeating its final row
+    (data/celeba.py); the loops rebuild val_loss from eval_step's
+    per-sample components over the TRUE rows only. Invariance check:
+    mutating the pad rows must not change the reconstructed loss (the
+    encoder runs with train=False, so rows are independent)."""
+    n_valid = 6
+    for Cfg, Tr, alpha in ((VAEGANConfig, VAEGANTrainer, None),
+                           (VAEConfig, VAETrainer, 1.0)):
+        cfg = Cfg(data=DataConfig(image_size=(64, 64), batch_size=8),
+                  run=F32)
+        a = alpha if alpha is not None else cfg.alpha_kl
+        tr = Tr(cfg, (64, 64, 3))
+        state = tr.init(KEY, 8)
+        batch = np.asarray(_batch())
+        pad_repeat = batch.copy()
+        pad_repeat[n_valid:] = pad_repeat[n_valid - 1]
+        pad_garbage = batch.copy()
+        pad_garbage[n_valid:] = 0
+
+        def loss(b):
+            ev = tr.eval_step(state, jnp.asarray(b), KEY)
+            return (float(jnp.mean(ev["per_mse"][:n_valid]))
+                    + a * float(jnp.sum(ev["per_kl"][:n_valid])))
+
+        l_rep, l_garb = loss(pad_repeat), loss(pad_garbage)
+        assert np.isfinite(l_rep)
+        np.testing.assert_allclose(l_rep, l_garb, rtol=1e-6)
+        # the old full-batch scalar DOES move when the pads change —
+        # i.e. the per-sample path is load-bearing, not redundant
+        ev_r = tr.eval_step(state, jnp.asarray(pad_repeat), KEY)
+        ev_g = tr.eval_step(state, jnp.asarray(pad_garbage), KEY)
+        assert abs(float(ev_r["val_loss"]) - float(ev_g["val_loss"])) > 0

@@ -164,7 +164,11 @@ class DiffusionTrainer:
         noise = jax.random.normal(k_n, x0.shape)
         xt = q_sample(self.sched, x0, t, noise)
         pred = self.model.apply({"params": state.params}, xt, t)
-        return mse(pred, noise)
+        # per-sample epsilon-MSE so the loop can drop the padded repeats of
+        # a final val batch (rows are independent: GroupNorm is per-sample)
+        return jnp.mean(jnp.square(pred.astype(jnp.float32)
+                                   - noise.astype(jnp.float32)),
+                        axis=(1, 2, 3))
 
     # ---------------------------------------------------------------- sample
     @functools.partial(jax.jit, static_argnums=0)

@@ -292,7 +292,12 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             ev = trainer.eval_step(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 10_000 + j))
-            val_loss += float(ev["val_loss"]) * n_valid
+            # rebuild the reference's batch loss (mean MSE + alpha * sum KL,
+            # vaegan_code.py:160-167) over the TRUE rows only — the padded
+            # repeats of the last row must not contribute
+            val_loss += (float(jnp.mean(ev["per_mse"][:n_valid]))
+                         + cfg.alpha_kl
+                         * float(jnp.sum(ev["per_kl"][:n_valid]))) * n_valid
             n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
             # slice padded rows off every metric input (the val Loader pads
@@ -320,8 +325,9 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
 
         if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
             ckpt.save(epoch + 1, state, key)
-        save_triplets(*panel, os.path.join(
-            cfg.run.out_dir, f"vaegan_decode_epoch_{epoch + 1:04d}.jpg"))
+        if panel is not None:   # val split can be empty on tiny datasets
+            save_triplets(*panel, os.path.join(
+                cfg.run.out_dir, f"vaegan_decode_epoch_{epoch + 1:04d}.jpg"))
         fake = trainer.generate(state, fixed_z)
         save_grid(np.asarray(fake), os.path.join(
             cfg.run.out_dir, f"vaegan_fake_epoch_{epoch + 1:04d}.jpg"))
@@ -389,7 +395,10 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             ev = trainer.eval_step(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 20_000 + j))
-            val_loss += float(ev["val_loss"]) * n_valid
+            # true-rows-only batch loss (mean MSE + raw-sum KL,
+            # main_vae.py:119-121) — padded repeats must not contribute
+            val_loss += (float(jnp.mean(ev["per_mse"][:n_valid]))
+                         + float(jnp.sum(ev["per_kl"][:n_valid]))) * n_valid
             n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
             # metrics over the true (unpadded) rows only, weighted by count
@@ -412,8 +421,9 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
               f"{ips:.0f} img/s")
         if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
             ckpt.save(epoch + 1, state, key)
-        save_triplets(*panel, os.path.join(
-            cfg.run.out_dir, f"valimg_{epoch:04d}.jpg"))
+        if panel is not None:   # val split can be empty on tiny datasets
+            save_triplets(*panel, os.path.join(
+                cfg.run.out_dir, f"valimg_{epoch:04d}.jpg"))
         fake = trainer.generate(state, fixed_z)
         save_grid(np.asarray(fake), os.path.join(
             cfg.run.out_dir, f"vae_fake_epoch_{epoch + 1:04d}.jpg"))
@@ -792,7 +802,9 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             vl = trainer.eval_loss(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 30_000 + j))
-            val_total += float(vl) * n_valid
+            # per-sample losses: sum the TRUE rows only (padded repeats of
+            # the last row must not contribute)
+            val_total += float(jnp.sum(vl[:n_valid]))
             n_val += n_valid
         log.append(epoch=epoch,
                    train_loss=total / max(count * cfg.data.batch_size, 1),
@@ -984,24 +996,33 @@ def evaluate_vae_occlusion(cfg: VAEConfig,
 
     noise_std = cfg.data.noise_max_std if cfg.data.noise_max_std else 0.5
     sums: Dict[str, float] = {}
-    n_b = 0
+    n_b, n_s = 0, 0
     first = None
     corrupt_jit = jax.jit(
         lambda k, img: corrupt(k, img, noise_std, occlusion=True))
     for j, (vbatch, n_valid) in enumerate(val.epoch()):
         if max_batches is not None and j >= max_batches:
             break
-        clean = to_signed(jnp.asarray(vbatch))
+        # slice padded repeats off BEFORE corruption — only true test rows
+        # may contribute (at most one extra compiled shape, eval-only)
+        clean = to_signed(jnp.asarray(vbatch))[:n_valid]
         noisy = corrupt_jit(jax.random.fold_in(key, 40_000 + j), clean)
         m = denoise_test_loss(trainer, state, noisy, clean,
                               jax.random.fold_in(key, 50_000 + j))
         recon = m.pop("recon")
+        # test_loss is a per-batch SUM (main_vae.py:258-267) -> average over
+        # batches; quality metrics are per-image -> weight by sample count
+        sums["test_loss"] = sums.get("test_loss", 0.0) + m.pop("test_loss")
         for k, v in m.items():
-            sums[k] = sums.get(k, 0.0) + v
+            sums[k] = sums.get(k, 0.0) + v * n_valid
         n_b += 1
+        n_s += n_valid
         if first is None:
             first = (np.asarray(noisy), np.asarray(clean), np.asarray(recon))
-    out = {k: v / max(n_b, 1) for k, v in sums.items()}
+    out = {"test_loss": sums.pop("test_loss", 0.0) / max(n_b, 1)}
+    out.update({k: v / max(n_s, 1) for k, v in sums.items()})
+    if first is None:           # empty val split (tiny datasets)
+        return out
 
     od = cfg.run.out_dir
     save_triplets(*first, os.path.join(od, "occlusion_triplets.jpg"))

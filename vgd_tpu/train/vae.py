@@ -149,7 +149,16 @@ class VAETrainer:
         logvar = jnp.clip(logvar, -10, 10)
         recon_loss = mse(recon, img)
         kl = kl_divergence(mu, logvar, mean_over_batch=False)
-        return {"val_loss": recon_loss + kl, "recon": recon, "noisy": noisy}
+        # per-sample components: the loop rebuilds the reference's val loss
+        # over the TRUE rows of a padded final batch
+        # (main_vae.py:119-121 semantics: mean MSE + raw-sum KL)
+        per_mse = jnp.mean(jnp.square(recon.astype(jnp.float32)
+                                      - img.astype(jnp.float32)),
+                           axis=(1, 2, 3))
+        per_kl = -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu)
+                                - jnp.exp(logvar), axis=1)
+        return {"val_loss": recon_loss + kl, "per_mse": per_mse,
+                "per_kl": per_kl, "recon": recon, "noisy": noisy}
 
     @functools.partial(jax.jit, static_argnums=0)
     def generate(self, state: VAEState, z: jax.Array) -> jax.Array:

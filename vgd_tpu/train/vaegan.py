@@ -222,7 +222,16 @@ class VAEGANTrainer:
                                    latent_to_spatial(z), train=False)
         recon_loss = mse(recon, img)
         kl = kl_divergence(mu, logvar, mean_over_batch=False)
+        # per-sample components so the loop can rebuild the exact reference
+        # val loss over the TRUE rows of a padded final batch
+        # (loss = mean(per_mse[:n]) + alpha * sum(per_kl[:n]))
+        per_mse = jnp.mean(jnp.square(recon.astype(jnp.float32)
+                                      - img.astype(jnp.float32)),
+                           axis=(1, 2, 3))
+        per_kl = -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu)
+                                - jnp.exp(logvar), axis=1)
         return {"val_loss": recon_loss + cfg.alpha_kl * kl,
+                "per_mse": per_mse, "per_kl": per_kl,
                 "recon": recon, "noisy": noisy}
 
     # -- prior sampling (vaegan_code.py:209-219) ----------------------------
