@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--timesteps", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ddim", type=int, default=50,
+                    help="also time the strided DDIM chain at this many "
+                    "steps (0 = skip)")
     ap.add_argument("--compute-dtype", default="bfloat16")
     ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
                     help="force the jax platform (cpu = harness drill)")
@@ -72,6 +75,29 @@ def main():
               f"({a.batch * a.timesteps / dt:.0f} UNet fwd/s)")
     result["speedup"] = round(result["stock_chain_s"]
                               / result["fused_chain_s"], 3)
+    if a.ddim:
+        # strided DDIM chain (fused UNet) — the fast-inference path the
+        # reference lacks; quality/speed knob is the step count
+        tr = DiffusionTrainer(cfg, (s, s, 3))
+        state = tr.init(key, a.batch)
+        shape = (a.batch, s, s, 3)
+        out = tr.generate_ddim(state, shape, jax.random.fold_in(key, 0),
+                               a.ddim)
+        _ = float(out[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        for i in range(a.reps):
+            out = tr.generate_ddim(state, shape,
+                                   jax.random.fold_in(key, 1 + i), a.ddim)
+        _ = float(out[0, 0, 0, 0])
+        dt = (time.perf_counter() - t0) / a.reps
+        result["ddim_steps"] = a.ddim
+        result["ddim_chain_s"] = round(dt, 3)
+        result["ddim_samples_per_s"] = round(a.batch / dt, 3)
+        result["ddim_speedup_vs_full"] = round(
+            result["fused_chain_s"] / dt, 2)
+        print(f"ddim{a.ddim}: {dt:.2f} s/chain  {a.batch / dt:.3f} "
+              f"samples/s  ({result['ddim_speedup_vs_full']}x vs full "
+              "chain)")
     print(json.dumps(result))
 
 

@@ -99,6 +99,50 @@ def test_ancestral_sampler_masking():
     assert not np.allclose(np.asarray(out_full), np.asarray(out_short))
 
 
+def test_ddim_full_stride_eta1_equals_ancestral():
+    """DDIM at num_steps=T, eta=1 is algebraically the DDPM posterior step
+    and draws noise through the identical key-split sequence, so it must
+    reproduce ancestral_sample sample-for-sample."""
+    tr = DiffusionTrainer(small_cfg(attention=False), (32, 32, 3))
+    state = tr.init(KEY, 2)
+    xt = jax.random.normal(KEY, (2, 32, 32, 3))
+    k = jax.random.fold_in(KEY, 7)
+    ref = tr.ancestral_sample(state, xt, jnp.int32(49), k)
+    out = tr.ddim_sample(state, xt, k, tr.cfg.timesteps, eta=1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=0)
+
+
+def test_ddim_eta0_deterministic_and_strided():
+    """eta=0 makes the chain noise-free: the chain key must not matter.
+    A strided chain (S<<T) returns the right shape/range and actually runs
+    fewer UNet evals (differs from the full chain)."""
+    tr = DiffusionTrainer(small_cfg(attention=False), (32, 32, 3))
+    state = tr.init(KEY, 2)
+    xt = jax.random.normal(KEY, (2, 32, 32, 3))
+    a = tr.ddim_sample(state, xt, jax.random.fold_in(KEY, 1), 10, eta=0.0)
+    b = tr.ddim_sample(state, xt, jax.random.fold_in(KEY, 2), 10, eta=0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+    assert a.shape == xt.shape
+    assert float(jnp.max(jnp.abs(a))) <= 1.0
+    full = tr.ddim_sample(state, xt, KEY, tr.cfg.timesteps, eta=0.0)
+    assert not np.allclose(np.asarray(a), np.asarray(full))
+
+
+def test_ddim_t_start_masking():
+    """Subsequence steps above t_start must be inert, matching the
+    partial-noise-restoration contract of ancestral_sample."""
+    tr = DiffusionTrainer(small_cfg(attention=False), (32, 32, 3))
+    state = tr.init(KEY, 2)
+    xt = jax.random.normal(KEY, (2, 32, 32, 3))
+    full = tr.ddim_sample(state, xt, KEY, 10, eta=0.0)
+    part = tr.ddim_sample(state, xt, KEY, 10, eta=0.0,
+                          t_start=jnp.int32(5))
+    assert not np.allclose(np.asarray(full), np.asarray(part))
+    g = tr.generate_ddim(state, (2, 32, 32, 3), KEY, 10)
+    assert g.shape == (2, 32, 32, 3)
+
+
 def test_predict_x0_clipped():
     tr = DiffusionTrainer(small_cfg(attention=False), (32, 32, 3))
     state = tr.init(KEY, 2)

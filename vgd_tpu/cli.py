@@ -224,6 +224,13 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--ddim-steps", type=int, default=0,
+                   help="diffusion only: >0 samples through the strided "
+                   "DDIM chain (e.g. 50) instead of the full ancestral "
+                   "chain — ~T/steps faster")
+    p.add_argument("--ddim-eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0=deterministic, 1=DDPM "
+                   "posterior noise)")
     p.add_argument("--no-attn", action="store_true")
     p.add_argument("--event-type", default="mi",
                    choices=["mi", "baseline"])
@@ -376,7 +383,8 @@ def main(argv=None):
     elif a.cmd == "sample":
         cfg = _sample_cfg(a)
         L.sample_from_dir(a.family, cfg, n=a.num_samples, out_path=a.out,
-                          step=a.step, seed=a.seed)
+                          step=a.step, seed=a.seed,
+                          ddim_steps=a.ddim_steps, ddim_eta=a.ddim_eta)
     elif a.cmd == "denoise":
         _denoise(a)
     elif a.cmd == "tstr":

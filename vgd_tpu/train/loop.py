@@ -1091,7 +1091,8 @@ def evaluate_diffusion_from_dir(cfg: DiffusionConfig, feature_fn=None,
 
 def sample_from_dir(family: str, cfg, n: int = 64,
                     out_path: Optional[str] = None,
-                    step: Optional[int] = None, seed: int = 42) -> str:
+                    step: Optional[int] = None, seed: int = 42,
+                    ddim_steps: int = 0, ddim_eta: float = 0.0) -> str:
     """Generate a sample grid from a trained checkpoint — the runnable
     counterpart of the reference's interactive samplers (main_vae.py:348-374,
     gan_code.py:121-122, nf_code.py:613-621, test_diffusion.py:124-155).
@@ -1153,9 +1154,14 @@ def sample_from_dir(family: str, cfg, n: int = 64,
         ckpt = Checkpointer(os.path.join(od, "ckpt"))
         state, _, s = ckpt.restore(template, step=step)
         x_t = jax.random.normal(key, (n,) + img_shape)
-        imgs = np.asarray(trainer.ancestral_sample(
-            state, x_t, jnp.int32(cfg.timesteps - 1),
-            jax.random.fold_in(key, 1)))
+        if ddim_steps > 0:
+            imgs = np.asarray(trainer.ddim_sample(
+                state, x_t, jax.random.fold_in(key, 1), ddim_steps,
+                eta=ddim_eta))
+        else:
+            imgs = np.asarray(trainer.ancestral_sample(
+                state, x_t, jnp.int32(cfg.timesteps - 1),
+                jax.random.fold_in(key, 1)))
         save_grid(imgs, out_path)
     else:
         raise ValueError(f"unknown family {family!r}")
