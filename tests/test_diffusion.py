@@ -161,3 +161,25 @@ def test_alternate_timestep_samplers():
     assert t_s.shape == (16,) and int(t_s.min()) >= 1 and int(t_s.max()) <= 100
     t_b = sample_timestep_beta(KEY, 16, 100)
     assert t_b.shape == (16,) and int(t_b.min()) >= 0 and int(t_b.max()) < 100
+
+
+def test_ddim_rejects_nonpositive_steps():
+    tr = DiffusionTrainer(small_cfg(False), (32, 32, 3))
+    state = tr.init(KEY, 2)
+    xt = jax.random.normal(KEY, (2, 32, 32, 3))
+    with pytest.raises(AssertionError):
+        tr.ddim_sample(state, xt, KEY, 0)
+
+
+def test_ddim_oversampled_dedupes_to_full_chain():
+    """num_steps > T produces duplicate taus from rounding; they are deduped
+    at trace time, so the oversampled eta=1 chain is exactly the full DDPM
+    ancestral chain (each duplicate would have been an algebraic no-op)."""
+    tr = DiffusionTrainer(small_cfg(False), (32, 32, 3))
+    state = tr.init(KEY, 2)
+    xt = jax.random.normal(KEY, (2, 32, 32, 3))
+    k = jax.random.fold_in(KEY, 3)
+    a = tr.ddim_sample(state, xt, k, tr.cfg.timesteps + 17, eta=1.0)
+    b = tr.ddim_sample(state, xt, k, tr.cfg.timesteps, eta=1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)

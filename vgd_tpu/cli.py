@@ -265,8 +265,8 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, "runs/vaegan"),
-            **({"epochs": a.epochs} if a.epochs else {}),
-            **({"lr": a.lr} if a.lr else {}))
+            **({"epochs": a.epochs} if a.epochs is not None else {}),
+            **({"lr": a.lr} if a.lr is not None else {}))
         feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
         L.run_vaegan(cfg, max_steps_per_epoch=a.steps_per_epoch,
                      feature_fn=feature_fn, resume=a.resume)
@@ -277,20 +277,21 @@ def main(argv=None):
                                    occlusion=a.occlusion)
         cfg = dataclasses.replace(
             cfg, data=data, run=_run_cfg(cfg.run, a, "runs/vae"),
-            **({"epochs": a.epochs} if a.epochs else {}),
-            **({"lr": a.lr} if a.lr else {}))
+            **({"epochs": a.epochs} if a.epochs is not None else {}),
+            **({"lr": a.lr} if a.lr is not None else {}))
         L.run_vae(cfg, max_steps_per_epoch=a.steps_per_epoch,
                   resume=a.resume)
     elif a.cmd in ("gan", "wgan"):
         cfg = C.GANConfig(wgan=(a.cmd == "wgan"))
         # WGAN reference scale is 1500 epochs (gan_code.py:288) vs DCGAN's
         # 150; apply it unless the user overrides
-        epochs = a.epochs or (1500 if a.cmd == "wgan" else None)
+        epochs = a.epochs if a.epochs is not None else \
+            (1500 if a.cmd == "wgan" else None)
         cfg = dataclasses.replace(
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, f"runs/{a.cmd}"),
-            **({"epochs": epochs} if epochs else {}),
-            **({"lr": a.lr} if a.lr else {}))
+            **({"epochs": epochs} if epochs is not None else {}),
+            **({"lr": a.lr} if a.lr is not None else {}))
         L.run_gan(cfg, max_steps_per_epoch=a.steps_per_epoch,
                   resume=a.resume)
     elif a.cmd == "glow":
@@ -298,8 +299,8 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, "runs/glow"),
-            **({"n_iter": a.iters} if a.iters else {}),
-            **({"lr": a.lr} if a.lr else {}),
+            **({"n_iter": a.iters} if a.iters is not None else {}),
+            **({"lr": a.lr} if a.lr is not None else {}),
             **({"remat": True} if getattr(a, "remat", False) else {}),
             **({"fused_coupling": True}
                if getattr(a, "fused_coupling", False) else {}),
@@ -311,9 +312,9 @@ def main(argv=None):
         cfg = C.GlowEEGConfig(event_type=a.event_type, eeg_path=a.eeg_path)
         cfg = dataclasses.replace(
             cfg, run=_run_cfg(cfg.run, a, "runs/glow_eeg"),
-            **({"n_iter": a.iters} if a.iters else {}),
-            **({"batch_size": a.batch_size} if a.batch_size else {}),
-            **({"lr": a.lr} if a.lr else {}))
+            **({"n_iter": a.iters} if a.iters is not None else {}),
+            **({"batch_size": a.batch_size} if a.batch_size is not None else {}),
+            **({"lr": a.lr} if a.lr is not None else {}))
         L.run_glow_eeg(cfg, resume=a.resume)
     elif a.cmd == "diffusion":
         cfg = C.DiffusionConfig(timesteps=a.timesteps,
@@ -321,8 +322,8 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, "runs/diffusion"),
-            **({"epochs": a.epochs} if a.epochs else {}),
-            **({"lr": a.lr} if a.lr else {}))
+            **({"epochs": a.epochs} if a.epochs is not None else {}),
+            **({"lr": a.lr} if a.lr is not None else {}))
         L.run_diffusion(cfg, max_steps_per_epoch=a.steps_per_epoch,
                         resume=a.resume)
     elif a.cmd == "eval-gan":
@@ -372,12 +373,12 @@ def main(argv=None):
     elif a.cmd == "eval-eeg":
         cfg = C.GlowEEGConfig(
             event_type=a.event_type, eeg_path=a.eeg_path,
-            **({"n_flows": a.flows} if a.flows else {}),
-            **({"n_blocks": a.blocks} if a.blocks else {}),
-            **({"filter_size": a.filter_size} if a.filter_size else {}))
+            **({"n_flows": a.flows} if a.flows is not None else {}),
+            **({"n_blocks": a.blocks} if a.blocks is not None else {}),
+            **({"filter_size": a.filter_size} if a.filter_size is not None else {}))
         cfg = dataclasses.replace(
             cfg, run=_run_cfg(cfg.run, a, "runs/glow_eeg"),
-            **({"batch_size": a.batch_size} if a.batch_size else {}))
+            **({"batch_size": a.batch_size} if a.batch_size is not None else {}))
         res = L.eeg_psd_and_gif(cfg, n_fake=a.n_fake, step=a.step)
         print(json.dumps(res))
     elif a.cmd == "sample":

@@ -223,21 +223,33 @@ class DiffusionTrainer:
         for a ~T/num_steps speedup of the hottest inference loop — a
         capability the reference does not have.
 
-        ``t_start`` (default T-1) masks out subsequence steps above it, the
-        same partial-noise-restoration contract as ``ancestral_sample``.
+        ``t_start`` (default T-1) masks out subsequence steps above it. At
+        full stride (``num_steps == T``) this is exactly
+        ``ancestral_sample``'s partial-noise-restoration contract; with a
+        strided chain the first active step is the nearest subsequence entry
+        <= t_start, whose abar differs from the noise level xt actually
+        carries, so strided t_start restarts are approximate (exact only
+        when t_start lands on a subsequence entry).
         """
+        assert num_steps >= 1, f"num_steps must be >= 1, got {num_steps}"
         T = self.cfg.timesteps
         acp = self.sched.alphas_cumprod
         b = xt.shape[0]
         if t_start is None:
             t_start = jnp.int32(T - 1)
         # Evenly spaced subsequence of {0..T-1}, descending; previous entry
-        # of the last step is the data distribution (abar = 1).
+        # of the last step is the data distribution (abar = 1). num_steps and
+        # T are static, so the subsequence is a trace-time numpy computation;
+        # np.unique drops the duplicate taus that rounding produces when
+        # num_steps doesn't evenly sample {0..T-1} (duplicates are exact
+        # algebraic no-ops but would each still cost a full UNet forward).
+        import numpy as _np
         if num_steps >= 2:
-            taus = jnp.round(jnp.linspace(0.0, T - 1, num_steps)
-                             ).astype(jnp.int32)
+            taus_np = _np.unique(_np.round(
+                _np.linspace(0.0, T - 1, num_steps)).astype(_np.int32))
         else:
-            taus = jnp.array([T - 1], jnp.int32)
+            taus_np = _np.array([T - 1], _np.int32)
+        taus = jnp.asarray(taus_np)
         taus_desc = taus[::-1]
         a_t = acp[taus_desc]
         a_prev = jnp.concatenate(
