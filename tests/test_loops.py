@@ -319,3 +319,42 @@ def test_cli_device_flag(tmp_path):
     assert rc == 0
     import jax
     assert jax.default_backend() == "cpu"
+
+
+def test_profiler_traces_epoch_scan_path(tmp_path):
+    """--profile-dir must produce a trace on the DEFAULT flagship path (the
+    streaming epoch scan): the profiler traces whole compiled chunks that
+    overlap the configured step window (SURVEY.md §5 tracing)."""
+    prof_dir = tmp_path / "trace"
+    cfg = VAEGANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=4, dataset_size=8),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32",
+                      profile_dir=str(prof_dir), profile_steps=(0, 1)),
+        epochs=1)
+    L.run_vaegan(cfg, epoch_scan=True)
+    files = [f for f in glob.glob(str(prof_dir / "**" / "*"), recursive=True)
+             if os.path.isfile(f)]
+    assert files, "profiled epoch-scan run produced no trace files"
+
+
+def test_mesh_model_axis_rejected_without_consumer():
+    """mesh.model > 1 for families with no model-axis consumer (vaegan/vae/
+    gan) is a loud config error, not silent compute duplication."""
+    from vgd_tpu.core.config import MeshConfig
+    r = RunConfig(mesh=MeshConfig(model=2))
+    with pytest.raises(ValueError, match="mesh-model"):
+        L._dp_mesh(r, 64)
+    # the consuming families still get their DP x model mesh
+    mesh = L._dp_mesh(r, 64, model_consumer="tp")
+    assert mesh is not None and mesh.shape["model"] == 2
+
+
+def test_run_vaegan_rejects_model_axis(tmp_path):
+    from vgd_tpu.core.config import MeshConfig
+    cfg = VAEGANConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=8, dataset_size=8),
+        run=RunConfig(out_dir=str(tmp_path), compute_dtype="float32",
+                      mesh=MeshConfig(model=2)),
+        epochs=1)
+    with pytest.raises(ValueError, match="mesh-model"):
+        L.run_vaegan(cfg)

@@ -54,6 +54,16 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="truncate epochs (smoke runs)")
+    p.add_argument("--keep-checkpoints", type=int, default=None,
+                   help="checkpoint retention count (default 3; raise for "
+                   "eval-gan/eval-vae checkpoint sweeps over a whole run)")
+    p.add_argument("--no-epoch-scan", action="store_true",
+                   help="epoch-driven trainers: force per-step dispatch "
+                   "(default for gan/vae per the measured A/B; vaegan and "
+                   "diffusion default to the streaming epoch scan)")
+    p.add_argument("--epoch-scan", action="store_true",
+                   help="force the device-resident streaming epoch scan "
+                   "(opt-in for gan/vae)")
     p.add_argument("--compute-dtype", type=str, default=None,
                    choices=["bfloat16", "float32"])
     p.add_argument("--resume", action="store_true")
@@ -122,6 +132,8 @@ def _run_cfg(base: C.RunConfig, a, default_out: str) -> C.RunConfig:
         kw["prng_impl"] = a.prng_impl
     if getattr(a, "multihost", False):
         kw["multihost"] = True
+    if getattr(a, "keep_checkpoints", None) is not None:
+        kw["keep_checkpoints"] = a.keep_checkpoints
     if getattr(a, "mesh_data", None) is not None or \
             getattr(a, "mesh_model", None) is not None:
         kw["mesh"] = C.MeshConfig(
@@ -146,6 +158,11 @@ def main(argv=None):
                            help="train with occlusion-rectangle corruption "
                            "(dataset_code.py:44-56 pipeline)")
         if name == "glow":
+            p.add_argument("--pp-stages", type=int, default=None,
+                           help="pipeline-parallel stages: every block's "
+                           "K-flow chain runs as a GPipe ring over this "
+                           "many model-axis devices (K must divide it); "
+                           "sizes --mesh-model automatically when unset")
             p.add_argument("--remat", action="store_true",
                            help="jax.checkpoint the flow scan: activation "
                            "memory O(K)->O(1), enables batch>=256 "
@@ -269,7 +286,9 @@ def main(argv=None):
             **({"lr": a.lr} if a.lr is not None else {}))
         feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
         L.run_vaegan(cfg, max_steps_per_epoch=a.steps_per_epoch,
-                     feature_fn=feature_fn, resume=a.resume)
+                     feature_fn=feature_fn, resume=a.resume,
+                     epoch_scan=(False if a.no_epoch_scan else
+                                 (True if a.epoch_scan else None)))
     elif a.cmd == "vae":
         cfg = C.VAEConfig()
         data = dataclasses.replace(_data_cfg(cfg.data, a),
@@ -280,7 +299,9 @@ def main(argv=None):
             **({"epochs": a.epochs} if a.epochs is not None else {}),
             **({"lr": a.lr} if a.lr is not None else {}))
         L.run_vae(cfg, max_steps_per_epoch=a.steps_per_epoch,
-                  resume=a.resume)
+                  resume=a.resume,
+                  epoch_scan=(False if a.no_epoch_scan else
+                                 (True if a.epoch_scan else None)))
     elif a.cmd in ("gan", "wgan"):
         cfg = C.GANConfig(wgan=(a.cmd == "wgan"))
         # WGAN reference scale is 1500 epochs (gan_code.py:288) vs DCGAN's
@@ -293,12 +314,18 @@ def main(argv=None):
             **({"epochs": epochs} if epochs is not None else {}),
             **({"lr": a.lr} if a.lr is not None else {}))
         L.run_gan(cfg, max_steps_per_epoch=a.steps_per_epoch,
-                  resume=a.resume)
+                  resume=a.resume,
+                  epoch_scan=(False if a.no_epoch_scan else
+                                 (True if a.epoch_scan else None)))
     elif a.cmd == "glow":
         cfg = C.GlowConfig()
+        if getattr(a, "pp_stages", None) and a.mesh_model is None:
+            a.mesh_model = a.pp_stages   # size the model axis to the stages
         cfg = dataclasses.replace(
             cfg, data=_data_cfg(cfg.data, a),
             run=_run_cfg(cfg.run, a, "runs/glow"),
+            **({"pp_stages": a.pp_stages}
+               if getattr(a, "pp_stages", None) else {}),
             **({"n_iter": a.iters} if a.iters is not None else {}),
             **({"lr": a.lr} if a.lr is not None else {}),
             **({"remat": True} if getattr(a, "remat", False) else {}),
@@ -325,7 +352,9 @@ def main(argv=None):
             **({"epochs": a.epochs} if a.epochs is not None else {}),
             **({"lr": a.lr} if a.lr is not None else {}))
         L.run_diffusion(cfg, max_steps_per_epoch=a.steps_per_epoch,
-                        resume=a.resume)
+                        resume=a.resume,
+                        epoch_scan=(False if a.no_epoch_scan else
+                                 (True if a.epoch_scan else None)))
     elif a.cmd == "eval-gan":
         cfg = C.GANConfig(wgan=a.wgan)
         cfg = dataclasses.replace(

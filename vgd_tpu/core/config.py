@@ -178,6 +178,12 @@ class GlowConfig:
     # small-batch regime (benchmarks/glow_unroll_bench.py). Math-identical
     # to unroll=1 (same ops, same order).
     scan_unroll: int = 1
+    # Pipeline parallelism: >0 stages every block's K-flow chain as a GPipe
+    # ring over that many model-axis devices (the mesh's model axis is sized
+    # to match when unset); K must divide pp_stages. Mutually exclusive with
+    # tensor-parallel filter sharding (--mesh-model without --pp-stages).
+    pp_stages: int = 0
+    pp_microbatches: int = 2
 
 
 @dataclass(frozen=True)

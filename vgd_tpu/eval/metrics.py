@@ -216,11 +216,14 @@ class MetricAccumulator:
         self.reset()
 
     def reset(self):
-        self._ssim_sum = 0.0
-        self._ssim_n = 0
-        self._feat_real: List[np.ndarray] = []
-        self._feat_fake: List[np.ndarray] = []
-        self._logits_fake: List[np.ndarray] = []
+        # device-resident accumulation: update() keeps everything as device
+        # arrays (async dispatch) and compute() fetches ONCE — per-batch
+        # float()/np.asarray() here would be the reference's .item()
+        # pathology on the eval side (SURVEY.md §3.1)
+        self._ssim_vals: List = []        # (device scalar, n) per batch
+        self._feat_real: List = []
+        self._feat_fake: List = []
+        self._logits_fake: List = []
 
     def update(self, fake_unit: jax.Array, real_unit: jax.Array,
                n_valid: Optional[int] = None):
@@ -235,25 +238,27 @@ class MetricAccumulator:
         n = fake_unit.shape[0] if n_valid is None else n_valid
         fake_unit = fake_unit[:n]
         real_unit = real_unit[:n]
-        self._ssim_sum += float(ssim(fake_unit, real_unit)) * n
-        self._ssim_n += n
+        self._ssim_vals.append((ssim(fake_unit, real_unit), n))
         if self.feature_fn is not None:
-            fake_u8 = np.asarray(jnp.clip(fake_unit * 255, 0, 255)
-                                 .astype(jnp.uint8))
-            real_u8 = np.asarray(jnp.clip(real_unit * 255, 0, 255)
-                                 .astype(jnp.uint8))
+            fake_u8 = jnp.clip(fake_unit * 255, 0, 255).astype(jnp.uint8)
+            real_u8 = jnp.clip(real_unit * 255, 0, 255).astype(jnp.uint8)
             f_fake, l_fake = self.feature_fn(fake_u8)
             f_real, _ = self.feature_fn(real_u8)
-            self._feat_fake.append(np.asarray(f_fake))
-            self._feat_real.append(np.asarray(f_real))
-            self._logits_fake.append(np.asarray(l_fake))
+            self._feat_fake.append(f_fake)
+            self._feat_real.append(f_real)
+            self._logits_fake.append(l_fake)
 
     def compute(self) -> Dict[str, float]:
-        out = {"ssim": self._ssim_sum / max(self._ssim_n, 1)}
+        # the single host<->device sync for the whole accumulation window
+        ssim_vals = jax.device_get([v for v, _ in self._ssim_vals])
+        ssim_sum = sum(float(v) * n for v, (_, n)
+                       in zip(ssim_vals, self._ssim_vals))
+        ssim_n = sum(n for _, n in self._ssim_vals)
+        out = {"ssim": ssim_sum / max(ssim_n, 1)}
         if self.feature_fn is not None and self._feat_fake:
-            feat_fake = np.concatenate(self._feat_fake)
-            feat_real = np.concatenate(self._feat_real)
-            logits = np.concatenate(self._logits_fake)
+            feat_fake = np.concatenate(jax.device_get(self._feat_fake))
+            feat_real = np.concatenate(jax.device_get(self._feat_real))
+            logits = np.concatenate(jax.device_get(self._logits_fake))
             out["fid"] = frechet_distance(feat_real, feat_fake)
             is_mean, is_std = inception_score_from_logits(logits)
             out["inception_score"] = is_mean

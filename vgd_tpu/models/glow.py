@@ -174,7 +174,7 @@ class Glow:
     def __init__(self, in_channels=3, n_flows=32, n_blocks=4,
                  variant="image", filter_size=512, compute_dtype=F32,
                  remat=False, fused_coupling=False, flow_stack=False,
-                 scan_unroll=1):
+                 scan_unroll=1, pp_mesh=None, pp_microbatches=2):
         self.cfg = GlowConfigBase(in_channels, n_flows, n_blocks, variant,
                                   filter_size, compute_dtype)
         # jax.checkpoint on the per-flow scan body: activation memory drops
@@ -203,6 +203,17 @@ class Glow:
         # flow i) and amortise loop overhead — targets the launch-bound
         # small-batch regime identified by benchmarks/glow_flops.py.
         self.scan_unroll = int(scan_unroll)
+        # Pipeline parallelism: with a Mesh whose ``model`` axis has p > 1
+        # devices, every block's K-flow chain runs as a GPipe ring
+        # (parallel/pipeline_parallel.py) — stage d holds flows
+        # [d*K/p, (d+1)*K/p) and microbatches stream stage-to-stage over
+        # ppermute. Training forward only (ActNorm init and the reverse /
+        # sampling path keep the sequential per-flow scan); gradients flow
+        # through scan+ppermute by ordinary autodiff. The flow logdet is
+        # data-independent (additive couplings, nf_code.py:229-231), so the
+        # batched ld_all precompute stays exact under the pipeline.
+        self.pp_mesh = pp_mesh
+        self.pp_microbatches = int(pp_microbatches)
 
     def _use_flow_stack(self, hw: int) -> bool:
         fs = self.flow_stack
@@ -373,6 +384,15 @@ class Glow:
         ld_all = hw * (
             jnp.sum(jnp.log(jnp.abs(p["flows"]["actnorm"]["s"])), axis=1)
             + jnp.sum(p["flows"]["invconv"]["log_s"], axis=1))
+
+        if self.pp_mesh is not None and not init:
+            from vgd_tpu.parallel.pipeline_parallel import pp_flow_stack
+            y, _ = pp_flow_stack(self.pp_mesh, self, p["flows"],
+                                 y.astype(F32), self.pp_microbatches)
+            logdet = jnp.sum(ld_all)
+            stats = {"b": p["flows"]["actnorm"]["b"],
+                     "s": p["flows"]["actnorm"]["s"]}
+            return self._block_tail(p, y, logdet, stats, bsz, split)
 
         if self._use_flow_stack(hw) and not init:
             from vgd_tpu.ops.glow_flow_stack import glow_flow_stack

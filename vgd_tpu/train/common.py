@@ -67,3 +67,20 @@ def clamp_params(tree, clip_value: float):
     (gan_code.py:319-320 clamps all netD parameters)."""
     return jax.tree_util.tree_map(
         lambda p: jnp.clip(p, -clip_value, clip_value), tree)
+
+
+def scan_epoch(step_impl, state, batches, key, *extra):
+    """Device-resident epoch body shared by every epoch-driven trainer: ONE
+    ``lax.scan`` over stacked uint8 batches (n_steps, B, ...), calling
+    ``step_impl(state, batch, fold_in(key, i), *extra)`` per step. Returns
+    (state, per-metric means over the scanned steps). The TPU-native answer
+    to the reference's per-batch CPU->GPU copy + Python dispatch hot loops
+    (vaegan_code.py:66, gan_code.py:187-226, main_vae.py:96-141,
+    train_diffusion.py:110-134)."""
+    def body(carry, inp):
+        st, i = carry
+        new_st, m = step_impl(st, inp, jax.random.fold_in(key, i), *extra)
+        return (new_st, i + 1), m
+
+    (state, _), ms = jax.lax.scan(body, (state, jnp.int32(0)), batches)
+    return state, jax.tree_util.tree_map(jnp.mean, ms)

@@ -32,7 +32,7 @@ from flax import struct
 from vgd_tpu.core.config import DiffusionConfig
 from vgd_tpu.models.unet import UNet
 from vgd_tpu.ops.image import to_signed
-from vgd_tpu.train.common import adam, mse
+from vgd_tpu.train.common import adam, mse, scan_epoch
 
 
 class Schedule(NamedTuple):
@@ -132,10 +132,9 @@ class DiffusionTrainer:
                               step=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------ train
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: DiffusionState, batch_uint8: jax.Array,
-                   key: jax.Array
-                   ) -> Tuple[DiffusionState, Dict[str, jax.Array]]:
+    def _train_step_impl(self, state: DiffusionState, batch_uint8: jax.Array,
+                         key: jax.Array
+                         ) -> Tuple[DiffusionState, Dict[str, jax.Array]]:
         x0 = to_signed(batch_uint8)
         b = x0.shape[0]
         k_t, k_n = jax.random.split(key)
@@ -153,6 +152,21 @@ class DiffusionTrainer:
         new_params = optax.apply_updates(state.params, updates)
         return (DiffusionState(params=new_params, opt_state=new_opt,
                                step=state.step + 1), {"loss": loss})
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: DiffusionState, batch_uint8: jax.Array,
+                   key: jax.Array
+                   ) -> Tuple[DiffusionState, Dict[str, jax.Array]]:
+        return self._train_step_impl(state, batch_uint8, key)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, state: DiffusionState, batches_uint8: jax.Array,
+                    key: jax.Array
+                    ) -> Tuple[DiffusionState, Dict[str, jax.Array]]:
+        """ONE compiled scan over stacked batches (train/common.py
+        scan_epoch) — train_diffusion.py:110-134's hot loop without per-step
+        host dispatch."""
+        return scan_epoch(self._train_step_impl, state, batches_uint8, key)
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_loss(self, state: DiffusionState, batch_uint8: jax.Array,

@@ -26,7 +26,8 @@ from flax import struct
 from vgd_tpu.core.config import GANConfig
 from vgd_tpu.models.gan import Discriminator, Generator
 from vgd_tpu.ops.image import to_signed
-from vgd_tpu.train.common import NetState, adam, bce, clamp_params
+from vgd_tpu.train.common import (NetState, adam, bce,
+                                  clamp_params, scan_epoch)
 
 
 @struct.dataclass
@@ -61,9 +62,9 @@ class GANTrainer:
                         step=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------ DCGAN
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: GANState, batch_uint8: jax.Array,
-                   key: jax.Array) -> Tuple[GANState, Dict[str, jax.Array]]:
+    def _train_step_impl(self, state: GANState, batch_uint8: jax.Array,
+                         key: jax.Array
+                         ) -> Tuple[GANState, Dict[str, jax.Array]]:
         x = to_signed(batch_uint8)
         b = x.shape[0]
         k_z, = jax.random.split(key, 1)
@@ -107,11 +108,23 @@ class GANTrainer:
                              step=state.step + 1)
         return new_state, {"d_loss": d_loss, "g_loss": g_loss}
 
-    # ------------------------------------------------------------------- WGAN
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step_wgan(self, state: GANState, batch_uint8: jax.Array,
-                        key: jax.Array
-                        ) -> Tuple[GANState, Dict[str, jax.Array]]:
+    def train_step(self, state: GANState, batch_uint8: jax.Array,
+                   key: jax.Array) -> Tuple[GANState, Dict[str, jax.Array]]:
+        return self._train_step_impl(state, batch_uint8, key)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, state: GANState, batches_uint8: jax.Array,
+                    key: jax.Array) -> Tuple[GANState, Dict[str, jax.Array]]:
+        """ONE compiled scan over stacked batches (train/common.py
+        scan_epoch) — the reference's hot loop gan_code.py:187-226 without
+        per-step host dispatch."""
+        return scan_epoch(self._train_step_impl, state, batches_uint8, key)
+
+    # ------------------------------------------------------------------- WGAN
+    def _train_step_wgan_impl(self, state: GANState, batch_uint8: jax.Array,
+                              key: jax.Array
+                              ) -> Tuple[GANState, Dict[str, jax.Array]]:
         cfg = self.cfg
         x = to_signed(batch_uint8)
         b = x.shape[0]
@@ -160,6 +173,21 @@ class GANTrainer:
         new_state = GANState(gen=gen, disc=disc.replace(batch_stats=d_stats2),
                              step=state.step + 1)
         return new_state, {"d_loss": d_loss, "g_loss": g_loss}
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_wgan(self, state: GANState, batch_uint8: jax.Array,
+                        key: jax.Array
+                        ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        return self._train_step_wgan_impl(state, batch_uint8, key)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch_wgan(self, state: GANState, batches_uint8: jax.Array,
+                         key: jax.Array
+                         ) -> Tuple[GANState, Dict[str, jax.Array]]:
+        """Scanned WGAN epoch (5 critic iters + clip per step, unrolled
+        inside the scan body — gan_code.py:289-345 hot loop)."""
+        return scan_epoch(self._train_step_wgan_impl, state, batches_uint8,
+                          key)
 
     @functools.partial(jax.jit, static_argnums=0)
     def generate(self, state: GANState, z: jax.Array) -> jax.Array:

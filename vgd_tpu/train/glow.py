@@ -66,11 +66,18 @@ class _GlowTrainerBase:
 class GlowTrainer(_GlowTrainerBase):
     """Image-variant trainer (nf_code.py __main__: K=32 L=4 64x64 5-bit)."""
 
-    def __init__(self, cfg: GlowConfig, img_shape: Tuple[int, int, int]):
+    def __init__(self, cfg: GlowConfig, img_shape: Tuple[int, int, int],
+                 pp_mesh=None):
+        """``pp_mesh``: a Mesh whose model axis stages the flow chains as a
+        GPipe pipeline (cfg.pp_stages devices; parallel/pipeline_parallel.py)
+        on the training forward. Sampling/init keep the sequential scan."""
         self.cfg = cfg
         h, w, c = img_shape
         assert h == w
         dtype = jnp.dtype(cfg.run.compute_dtype)
+        if pp_mesh is not None:
+            assert cfg.n_flows % getattr(cfg, "pp_stages", 1) == 0, \
+                (cfg.n_flows, cfg.pp_stages)
         self.model = Glow(in_channels=c, n_flows=cfg.n_flows,
                           n_blocks=cfg.n_blocks, variant="image",
                           filter_size=cfg.filter_size, compute_dtype=dtype,
@@ -78,7 +85,9 @@ class GlowTrainer(_GlowTrainerBase):
                           fused_coupling=getattr(cfg, "fused_coupling",
                                                  False),
                           flow_stack=getattr(cfg, "flow_stack", False),
-                          scan_unroll=getattr(cfg, "scan_unroll", 1))
+                          scan_unroll=getattr(cfg, "scan_unroll", 1),
+                          pp_mesh=pp_mesh,
+                          pp_microbatches=getattr(cfg, "pp_microbatches", 2))
         self.tx = adam(cfg.lr)
         self.img_shape = img_shape
         self.n_bins = 2.0 ** cfg.n_bits

@@ -62,6 +62,27 @@ class _Profiler:
             jax.profiler.stop_trace()
             self.active = False
 
+    # Scan-path tracing: the epoch-scan loops dispatch whole compiled chunks
+    # (many steps per dispatch), so the per-step hook above never fires.
+    # Instead, trace every chunk that overlaps [start_step, stop_step).
+    def chunk_begin(self, lo: int, hi: int):
+        """Call before dispatching a chunk covering global steps [lo, hi)."""
+        if not self.dir or self.active:
+            return
+        if lo < self.stop_step and hi > self.start_step:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+
+    def chunk_end(self, hi: int, sync=None):
+        """Call after the chunk; ``sync`` (e.g. the new state) is blocked on
+        before stopping so the trace contains the device execution — only
+        when a trace is live, preserving the staging overlap otherwise."""
+        if self.active and hi >= self.stop_step:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            jax.profiler.stop_trace()
+            self.active = False
+
     def close(self):
         if self.active:
             jax.profiler.stop_trace()
@@ -99,13 +120,27 @@ def _setup(cfg_run):
     return seed_all(cfg_run.seed, impl=getattr(cfg_run, "prng_impl", None))
 
 
-def _dp_mesh(cfg_run, batch_size):
+def _dp_mesh(cfg_run, batch_size, model_consumer: Optional[str] = None):
     """Data-parallel mesh for the loop drivers (RunConfig.mesh): used when
     more than one device is visible and the batch divides the ``data`` axis
     evenly; otherwise the loops keep single-device semantics unchanged.
     Params replicate; the jitted steps are written against global logical
     shapes, so XLA inserts the gradient all-reduce and global-BatchNorm
-    collectives (SURVEY.md §2c) without step-code changes."""
+    collectives (SURVEY.md §2c) without step-code changes.
+
+    ``model_consumer`` names the subsystem that consumes a model axis
+    ("tp": Glow coupling-filter sharding; "sp": UNet ring attention).
+    Families with no consumer reject ``mesh.model > 1`` instead of silently
+    replicating all compute across the model axis (every chip would run the
+    full batch shard with zero speedup)."""
+    if cfg_run.mesh.model > 1 and model_consumer is None:
+        raise ValueError(
+            f"--mesh-model {cfg_run.mesh.model} has no effect for this "
+            "family: its parameters replicate, so a model axis duplicates "
+            "all compute without speedup. Model-axis consumers are 'glow' / "
+            "'glow-eeg' (tensor-parallel coupling filters) and 'diffusion' "
+            "(ring-attention sequence parallelism); use --mesh-data for "
+            "data parallelism here.")
     if jax.device_count() == 1:
         return None
     from vgd_tpu.parallel.mesh import DATA_AXIS, build_mesh
@@ -135,6 +170,10 @@ def _glow_state_placement(mesh, state, cfg):
         return state
     from vgd_tpu.parallel.mesh import MODEL_AXIS
     if mesh.shape[MODEL_AXIS] <= 1:
+        return _dp_state(mesh, state)
+    if getattr(cfg, "pp_stages", 0) > 0:
+        # PP: the model axis hosts pipeline STAGES — params stay replicated
+        # (each stage slices its flows inside shard_map), no filter sharding
         return _dp_state(mesh, state)
     if getattr(cfg, "fused_coupling", False) or \
             getattr(cfg, "flow_stack", False):
@@ -189,6 +228,52 @@ def _stack_next(batch_iter, n: int):
     return np.stack(buf)
 
 
+def _chunk_steps(batch_size: int, img_shape, steps_per_epoch: int) -> int:
+    """Steps per compiled scan chunk: under the SCAN_CHUNK_BYTES budget AND
+    at most a quarter of the epoch, so there are >= ~4 chunks per epoch —
+    with a single whole-epoch chunk the host staging of the NEXT epoch's
+    data serializes behind the device (no overlap), measurably losing to
+    per-step prefetch at 64px (BASELINE.md round-4 epoch-scan A/B)."""
+    batch_bytes = batch_size * int(np.prod(img_shape))
+    budget = SCAN_CHUNK_BYTES // max(batch_bytes, 1)
+    quarter = -(-steps_per_epoch // 4)   # ceil
+    return max(1, min(steps_per_epoch, budget, quarter))
+
+
+def _stream_epoch_scan(epoch_fn, state, train_iter, steps_per_epoch,
+                       chunk_steps, key, epoch, prof, gstep, mesh):
+    """Streaming epoch scan shared by the epoch-driven loops (vaegan / vae /
+    gan / wgan / diffusion): compiled scans over fixed-size chunks of stacked
+    batches, staging chunk i+1 on host while the device runs chunk i. At
+    most two compiled shapes per run (chunk + remainder); peak extra host
+    memory ~2 chunks, so the device-resident path works on datasets larger
+    than host RAM headroom. ``epoch_fn(state, chunk, key) -> (state, means)``
+    is a jitted scanned-epoch (trainer.train_epoch*). Returns
+    (state, sums, count, gstep) where ``sums`` are step-weighted metric sums
+    (divide by ``count`` for the epoch mean)."""
+    put_stacked = _dp_put(mesh, ndim=5, stacked=True)
+    staged = _stack_next(train_iter, min(chunk_steps, steps_per_epoch))
+    chunk_metrics, count = [], 0
+    while staged is not None:
+        cur = put_stacked(staged)
+        n = cur.shape[0]
+        prof.chunk_begin(gstep, gstep + n)
+        state, m = epoch_fn(
+            state, cur, jax.random.fold_in(key, epoch * 1_000_003 + count))
+        count += n
+        gstep += n
+        nxt = min(chunk_steps, steps_per_epoch - count)
+        staged = _stack_next(train_iter, nxt) if nxt > 0 else None
+        chunk_metrics.append((n, m))   # fetch AFTER the loop — fetching
+        # here would sync and kill the staging overlap
+        prof.chunk_end(gstep, sync=state)
+    sums = {}
+    for n, m in chunk_metrics:
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * n
+    return state, sums, count, gstep
+
+
 # ---------------------------------------------------------------------------
 # VAE-GAN (vaegan_code.py:18-219)
 # ---------------------------------------------------------------------------
@@ -204,6 +289,7 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
 
     key = _setup(cfg.run)
     train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     trainer = VAEGANTrainer(cfg, img_shape)
     state = trainer.init(key, cfg.data.batch_size)
     ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
@@ -213,7 +299,6 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
-    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir)
     prof = _Profiler(cfg.run)
@@ -227,40 +312,18 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
     if epoch_scan is None:
         epoch_scan = True   # streaming chunks: no epoch-size gate needed
 
-    batch_bytes = cfg.data.batch_size * int(np.prod(img_shape))
-    chunk_steps = max(1, min(steps_per_epoch,
-                             SCAN_CHUNK_BYTES // max(batch_bytes, 1)))
+    chunk_steps = _chunk_steps(cfg.data.batch_size, img_shape,
+                               steps_per_epoch)
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
         ramp = jnp.float32(trainer.kl_ramp(epoch))
         sums, count, n_sampled, t0 = {}, 0, 0, time.perf_counter()
         if epoch_scan:
-            # Streaming epoch scan: compiled scans over fixed-size chunks of
-            # stacked batches, staging chunk i+1 on host while the device
-            # runs chunk i. At most two compiled shapes (chunk + remainder);
-            # peak extra host memory is ~2 chunks, so the device-resident
-            # path works on datasets larger than host RAM headroom.
-            it = (b for b, _ in train.epoch())
-            staged = _stack_next(it, min(chunk_steps, steps_per_epoch))
-            chunk_metrics = []
-            put_stacked = _dp_put(mesh, ndim=5, stacked=True)
-            while staged is not None:
-                cur = put_stacked(staged)
-                n = cur.shape[0]
-                state, m = trainer.train_epoch(
-                    state, cur,
-                    jax.random.fold_in(key, epoch * 1_000_003 + count),
-                    ramp)
-                count += n
-                gstep += n
-                nxt = min(chunk_steps, steps_per_epoch - count)
-                staged = _stack_next(it, nxt) if nxt > 0 else None
-                chunk_metrics.append((n, m))   # fetch AFTER the loop —
-                # fetching here would sync and kill the staging overlap
-            for n, m in chunk_metrics:
-                for k, v in m.items():
-                    sums[k] = sums.get(k, 0.0) + float(v) * n
+            state, sums, count, gstep = _stream_epoch_scan(
+                lambda s_, c_, k_: trainer.train_epoch(s_, c_, k_, ramp),
+                state, (b for b, _ in train.epoch()), steps_per_epoch,
+                chunk_steps, key, epoch, prof, gstep, mesh)
             n_sampled = count
         else:
             batches = device_prefetch((b for b, _ in train.epoch()), size=2,
@@ -285,38 +348,45 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
         ips = count * cfg.data.batch_size / max(dt, 1e-9)
 
         # validation: denoise pass + SSIM/PSNR/MSE (+IS/FID) — the
-        # reference's per-epoch loop (vaegan_code.py:143-191)
+        # reference's per-epoch loop (vaegan_code.py:143-191). All per-batch
+        # values stay on device (async dispatch); ONE host fetch per val
+        # epoch, like the train side — per-batch float() syncs are exactly
+        # the reference's .item() pathology (SURVEY.md §3.1, eval side)
         acc = MetricAccumulator(feature_fn=feature_fn)
-        val_loss, n_val, panel = 0.0, 0, None
-        psnr_sum, n_vb = 0.0, 0
+        val_rows, panel = [], None
+        tv0 = time.perf_counter()
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             ev = trainer.eval_step(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 10_000 + j))
-            # rebuild the reference's batch loss (mean MSE + alpha * sum KL,
-            # vaegan_code.py:160-167) over the TRUE rows only — the padded
-            # repeats of the last row must not contribute
-            val_loss += (float(jnp.mean(ev["per_mse"][:n_valid]))
-                         + cfg.alpha_kl
-                         * float(jnp.sum(ev["per_kl"][:n_valid]))) * n_valid
-            n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
             # slice padded rows off every metric input (the val Loader pads
             # the last batch to a static shape) — only the true val set may
-            # contribute (vaegan_code.py:165-185)
+            # contribute (vaegan_code.py:165-185); the reference's batch loss
+            # is mean MSE + alpha * sum KL (vaegan_code.py:160-167)
             acc.update(signed_to_unit(ev["recon"]), signed_to_unit(img),
                        n_valid=n_valid)
-            psnr_sum += float(psnr(signed_to_unit(ev["recon"][:n_valid]),
-                                   signed_to_unit(img[:n_valid]))) * n_valid
-            n_vb += n_valid
+            val_rows.append((
+                n_valid,
+                jnp.mean(ev["per_mse"][:n_valid]),
+                jnp.sum(ev["per_kl"][:n_valid]),
+                psnr(signed_to_unit(ev["recon"][:n_valid]),
+                     signed_to_unit(img[:n_valid]))))
             if panel is None:
-                panel = (np.asarray(ev["noisy"]), np.asarray(img),
-                         np.asarray(ev["recon"]))
+                panel = (ev["noisy"], img, ev["recon"])
+        fetched = jax.device_get([r[1:] for r in val_rows])
+        val_loss = sum((m + cfg.alpha_kl * k_) * r[0]
+                       for r, (m, k_, _) in zip(val_rows, fetched))
+        n_val = sum(r[0] for r in val_rows)
+        psnr_sum = sum(p * r[0] for r, (_, _, p) in zip(val_rows, fetched))
+        if panel is not None:
+            panel = tuple(np.asarray(a) for a in panel)
         metrics = acc.compute()
-        metrics["psnr"] = psnr_sum / max(n_vb, 1)
+        metrics["psnr"] = psnr_sum / max(n_val, 1)
         row = {("train_" + k): v / max(1, n_sampled)
                for k, v in sums.items()}
         row.update(val_loss=val_loss / max(n_val, 1),
-                   images_per_sec=ips, **metrics)
+                   images_per_sec=ips,
+                   val_secs=time.perf_counter() - tv0, **metrics)
         log.append(epoch=epoch, **row)
         print(f"[vaegan] epoch {epoch + 1}/{epochs} "
               f"recon={row.get('train_recon', 0):.4f} "
@@ -343,11 +413,17 @@ def run_vaegan(cfg: VAEGANConfig, epochs: Optional[int] = None,
 
 def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
             max_steps_per_epoch: Optional[int] = None,
-            resume: bool = False) -> Dict:
+            resume: bool = False,
+            epoch_scan: Optional[bool] = None) -> Dict:
+    """epoch_scan: streaming compiled epoch chunks. Default False for this
+    family: measured on-chip at 64px the scan LOSES to per-step prefetch
+    dispatch (0.95x, BASELINE.md round-4 epoch-scan A/B) — --epoch-scan
+    opts in."""
     from vgd_tpu.train.vae import VAETrainer
 
     key = _setup(cfg.run)
     train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     trainer = VAETrainer(cfg, img_shape)
     state = trainer.init(key, cfg.data.batch_size)
     ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
@@ -357,61 +433,81 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
-    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir, "vae_loss")
     prof = _Profiler(cfg.run)
     fixed_z = jax.random.normal(jax.random.fold_in(key, 7),
                                 (64, cfg.latent_dim))
     epochs = cfg.epochs if epochs is None else epochs
+    steps_per_epoch = len(train)
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    if epoch_scan is None:
+        epoch_scan = False
+    chunk_steps = _chunk_steps(cfg.data.batch_size, img_shape,
+                               steps_per_epoch)
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
         ramp = jnp.float32(min(epoch / cfg.kl_warmup_epochs, 1.0))
-        total_dev, count = None, 0
         t0 = time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2,
-                                  sharding=_dp_sharding(mesh))
-        for i, batch in enumerate(batches):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            prof.step(gstep)
-            state, m = trainer.train_step(state, batch,
-                                          jax.random.fold_in(key, gstep),
-                                          ramp)
-            gstep += 1
-            count += 1
-            # device-resident accumulation: float(m) every step would sync
-            # host<->device per batch — exactly the reference's .item()
-            # pathology (SURVEY.md §3.1); one fetch per epoch instead
-            total_dev = m["total"] if total_dev is None \
-                else total_dev + m["total"]
-        total = float(total_dev) if count else 0.0
+        if epoch_scan:
+            state, sums, count, gstep = _stream_epoch_scan(
+                lambda s_, c_, k_: trainer.train_epoch(s_, c_, k_, ramp),
+                state, (b for b, _ in train.epoch()), steps_per_epoch,
+                chunk_steps, key, epoch, prof, gstep, mesh)
+            total = sums.get("total", 0.0)
+        else:
+            total_dev, count = None, 0
+            batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                      sharding=_dp_sharding(mesh))
+            for i, batch in enumerate(batches):
+                if max_steps_per_epoch is not None and \
+                        i >= max_steps_per_epoch:
+                    break
+                prof.step(gstep)
+                state, m = trainer.train_step(state, batch,
+                                              jax.random.fold_in(key, gstep),
+                                              ramp)
+                gstep += 1
+                count += 1
+                # device-resident accumulation: float(m) every step would
+                # sync host<->device per batch — exactly the reference's
+                # .item() pathology (SURVEY.md §3.1); one fetch per epoch
+                total_dev = m["total"] if total_dev is None \
+                    else total_dev + m["total"]
+            total = float(total_dev) if count else 0.0
         ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
                                                 1e-9)
-        val_loss, n_val, panel = 0.0, 0, None
-        mse_v = psnr_v = ssim_v = 0.0
-        n_b = 0
+        # device-resident val metrics: ONE host fetch per val epoch (the
+        # train side already accumulates on device; per-batch float() syncs
+        # are the reference's .item() pathology, SURVEY.md §3.1)
+        val_rows, panel = [], None
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             ev = trainer.eval_step(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 20_000 + j))
-            # true-rows-only batch loss (mean MSE + raw-sum KL,
-            # main_vae.py:119-121) — padded repeats must not contribute
-            val_loss += (float(jnp.mean(ev["per_mse"][:n_valid]))
-                         + float(jnp.sum(ev["per_kl"][:n_valid]))) * n_valid
-            n_val += n_valid
             img = to_signed(jnp.asarray(vbatch))
-            # metrics over the true (unpadded) rows only, weighted by count
+            # true-rows-only batch loss (mean MSE + raw-sum KL,
+            # main_vae.py:119-121) — padded repeats must not contribute;
+            # quality metrics over the true (unpadded) rows only
             ru = signed_to_unit(ev["recon"][:n_valid])
             iu = signed_to_unit(img[:n_valid])
-            mse_v += float(mse_metric(ru, iu)) * n_valid
-            psnr_v += float(psnr(ru, iu)) * n_valid
-            ssim_v += float(ssim(ru, iu)) * n_valid
-            n_b += n_valid
+            val_rows.append((n_valid,
+                             jnp.mean(ev["per_mse"][:n_valid]),
+                             jnp.sum(ev["per_kl"][:n_valid]),
+                             mse_metric(ru, iu), psnr(ru, iu), ssim(ru, iu)))
             if panel is None:
-                panel = (np.asarray(ev["noisy"]), np.asarray(img),
-                         np.asarray(ev["recon"]))
-        n_b = max(n_b, 1)
+                panel = (ev["noisy"], img, ev["recon"])
+        fetched = jax.device_get([r[1:] for r in val_rows])
+        val_loss = sum((m + k_) * r[0]
+                       for r, (m, k_, *_rest) in zip(val_rows, fetched))
+        n_val = sum(r[0] for r in val_rows)
+        mse_v = sum(v[2] * r[0] for r, v in zip(val_rows, fetched))
+        psnr_v = sum(v[3] * r[0] for r, v in zip(val_rows, fetched))
+        ssim_v = sum(v[4] * r[0] for r, v in zip(val_rows, fetched))
+        if panel is not None:
+            panel = tuple(np.asarray(a) for a in panel)
+        n_b = max(n_val, 1)
         log.append(epoch=epoch, train_loss=total / max(count, 1),
                    val_loss=val_loss / max(n_val, 1), images_per_sec=ips,
                    mse=mse_v / n_b, psnr=psnr_v / n_b, ssim=ssim_v / n_b)
@@ -439,11 +535,17 @@ def run_vae(cfg: VAEConfig, epochs: Optional[int] = None,
 
 def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
             max_steps_per_epoch: Optional[int] = None,
-            resume: bool = False) -> Dict:
+            resume: bool = False,
+            epoch_scan: Optional[bool] = None) -> Dict:
+    """epoch_scan: streaming compiled epoch chunks. Default False for this
+    family: measured on-chip at 64px the scan LOSES to per-step prefetch
+    dispatch (0.79x, BASELINE.md round-4 epoch-scan A/B) — --epoch-scan
+    opts in."""
     from vgd_tpu.train.gan import GANTrainer
 
     key = _setup(cfg.run)
     train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     trainer = GANTrainer(cfg, img_shape)
     state = trainer.init(key, cfg.data.batch_size)
     ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
@@ -453,7 +555,6 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
         state, rkey, start_epoch = ckpt.restore(
             state, key_impl=cfg.run.prng_impl)
         key = rkey if rkey is not None else key
-    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     state = _dp_state(mesh, state)
     log = MetricLog(cfg.run.out_dir, "gan_loss")
     prof = _Profiler(cfg.run)
@@ -461,28 +562,44 @@ def run_gan(cfg: GANConfig, epochs: Optional[int] = None,
                                 (64, 1, 1, cfg.latent_dim))
     epochs = cfg.epochs if epochs is None else epochs
     step_fn = trainer.train_step_wgan if cfg.wgan else trainer.train_step
+    epoch_fn = trainer.train_epoch_wgan if cfg.wgan else trainer.train_epoch
+    steps_per_epoch = len(train)
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    if epoch_scan is None:
+        epoch_scan = False
+    chunk_steps = _chunk_steps(cfg.data.batch_size, img_shape,
+                               steps_per_epoch)
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
-        d_dev = g_dev = None
-        count = 0
         t0 = time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2,
-                                  sharding=_dp_sharding(mesh))
-        for i, batch in enumerate(batches):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            prof.step(gstep)
-            state, m = step_fn(state, batch,
-                               jax.random.fold_in(key, gstep))
-            gstep += 1
-            count += 1
-            # device-resident loss accumulation (one host fetch per epoch,
-            # not the reference's per-batch .item() syncs, SURVEY.md §3.1)
-            d_dev = m["d_loss"] if d_dev is None else d_dev + m["d_loss"]
-            g_dev = m["g_loss"] if g_dev is None else g_dev + m["g_loss"]
-        d_sum = float(d_dev) if count else 0.0
-        g_sum = float(g_dev) if count else 0.0
+        if epoch_scan:
+            state, sums, count, gstep = _stream_epoch_scan(
+                epoch_fn, state, (b for b, _ in train.epoch()),
+                steps_per_epoch, chunk_steps, key, epoch, prof, gstep, mesh)
+            d_sum = sums.get("d_loss", 0.0)
+            g_sum = sums.get("g_loss", 0.0)
+        else:
+            d_dev = g_dev = None
+            count = 0
+            batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                      sharding=_dp_sharding(mesh))
+            for i, batch in enumerate(batches):
+                if max_steps_per_epoch is not None and \
+                        i >= max_steps_per_epoch:
+                    break
+                prof.step(gstep)
+                state, m = step_fn(state, batch,
+                                   jax.random.fold_in(key, gstep))
+                gstep += 1
+                count += 1
+                # device-resident loss accumulation (one host fetch per
+                # epoch, not per-batch .item() syncs, SURVEY.md §3.1)
+                d_dev = m["d_loss"] if d_dev is None else d_dev + m["d_loss"]
+                g_dev = m["g_loss"] if g_dev is None else g_dev + m["g_loss"]
+            d_sum = float(d_dev) if count else 0.0
+            g_sum = float(g_dev) if count else 0.0
         ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
                                                 1e-9)
         log.append(epoch=epoch, d_loss=d_sum / max(count, 1),
@@ -542,7 +659,23 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
 
     key = _setup(cfg.run)
     train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
-    trainer = GlowTrainer(cfg, img_shape)
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size,
+                    model_consumer="pp" if cfg.pp_stages > 0 else "tp")
+    pp_mesh = None
+    if cfg.pp_stages > 0:
+        from vgd_tpu.parallel.mesh import MODEL_AXIS
+        if mesh is None or mesh.shape[MODEL_AXIS] != cfg.pp_stages:
+            have = 0 if mesh is None else mesh.shape[MODEL_AXIS]
+            raise ValueError(
+                f"--pp-stages {cfg.pp_stages} needs a mesh whose model axis "
+                f"has exactly that many devices (have {have}); pass "
+                f"--mesh-model {cfg.pp_stages} or leave it unset (the CLI "
+                "sizes it automatically) and provide enough devices")
+        if cfg.n_flows % cfg.pp_stages != 0:
+            raise ValueError(f"n_flows={cfg.n_flows} must divide evenly "
+                             f"over --pp-stages {cfg.pp_stages}")
+        pp_mesh = mesh
+    trainer = GlowTrainer(cfg, img_shape, pp_mesh=pp_mesh)
     state = trainer.init(key, cfg.data.batch_size)
     ckpt = Checkpointer(os.path.join(cfg.run.out_dir, "ckpt"),
                         keep=cfg.run.keep_checkpoints)
@@ -563,7 +696,6 @@ def run_glow(cfg: GlowConfig, n_iter: Optional[int] = None,
     # `start` continues from batch start+1 — continuation-equivalent, no
     # re-used data (the skip replays permutations only, not decode work)
     batches = train.stream(start + 1) if start > 0 else iter(train)
-    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
     state = _glow_state_placement(mesh, state, cfg)
     put = _dp_put(mesh)
     if start == 0:
@@ -640,7 +772,7 @@ def run_glow_eeg(cfg: GlowEEGConfig, n_iter: Optional[int] = None,
     # continuation-equivalent stream position (see run_glow)
     batches = eeg_batches(ds, cfg.batch_size, seed=cfg.run.seed,
                           skip=start + 1 if start > 0 else 0)
-    mesh = _dp_mesh(cfg.run, cfg.batch_size)
+    mesh = _dp_mesh(cfg.run, cfg.batch_size, model_consumer="tp")
     state = _glow_state_placement(mesh, state, cfg)
     put = _dp_put(mesh)
     if start == 0:
@@ -750,12 +882,16 @@ def eeg_psd_and_gif(cfg: GlowEEGConfig, state=None, trainer=None,
 
 def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
                   max_steps_per_epoch: Optional[int] = None,
-                  resume: bool = False) -> Dict:
+                  resume: bool = False,
+                  epoch_scan: Optional[bool] = None) -> Dict:
+    """epoch_scan: streaming compiled epoch chunks — default True here,
+    measured 1.59x over per-step dispatch at 64px (BASELINE.md round-4
+    epoch-scan A/B)."""
     from vgd_tpu.train.diffusion import DiffusionTrainer
 
     key = _setup(cfg.run)
     train, val, img_shape = make_image_datasets(cfg.data, seed=cfg.run.seed)
-    mesh = _dp_mesh(cfg.run, cfg.data.batch_size)
+    mesh = _dp_mesh(cfg.run, cfg.data.batch_size, model_consumer="sp")
     # model axis > 1: bottleneck attention tokens ride the ring
     # (sequence parallelism); params stay replicated
     sp_mesh = None
@@ -776,41 +912,57 @@ def run_diffusion(cfg: DiffusionConfig, epochs: Optional[int] = None,
     log = MetricLog(cfg.run.out_dir, "diffusion_loss")
     prof = _Profiler(cfg.run)
     epochs = cfg.epochs if epochs is None else epochs
+    steps_per_epoch = len(train)
+    if max_steps_per_epoch is not None:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    if epoch_scan is None:
+        epoch_scan = True
+    chunk_steps = _chunk_steps(cfg.data.batch_size, img_shape,
+                               steps_per_epoch)
 
     gstep = 0
     for epoch in range(start_epoch, epochs):
-        total_dev, count = None, 0
         t0 = time.perf_counter()
-        batches = device_prefetch((b for b, _ in train.epoch()), size=2,
-                                  sharding=_dp_sharding(mesh))
-        for i, batch in enumerate(batches):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            prof.step(gstep)
-            state, m = trainer.train_step(state, batch,
-                                          jax.random.fold_in(key, gstep))
-            gstep += 1
-            count += 1
-            # device-resident accumulation (train batches are all full-size,
-            # so the per-image weighting is a constant factor applied once)
-            total_dev = m["loss"] if total_dev is None \
-                else total_dev + m["loss"]
-        total = float(total_dev) * cfg.data.batch_size if count else 0.0
+        if epoch_scan:
+            state, sums, count, gstep = _stream_epoch_scan(
+                trainer.train_epoch, state, (b for b, _ in train.epoch()),
+                steps_per_epoch, chunk_steps, key, epoch, prof, gstep, mesh)
+            total = sums.get("loss", 0.0)
+        else:
+            total_dev, count = None, 0
+            batches = device_prefetch((b for b, _ in train.epoch()), size=2,
+                                      sharding=_dp_sharding(mesh))
+            for i, batch in enumerate(batches):
+                if max_steps_per_epoch is not None and \
+                        i >= max_steps_per_epoch:
+                    break
+                prof.step(gstep)
+                state, m = trainer.train_step(state, batch,
+                                              jax.random.fold_in(key, gstep))
+                gstep += 1
+                count += 1
+                # device-resident accumulation (SURVEY.md §3.1)
+                total_dev = m["loss"] if total_dev is None \
+                    else total_dev + m["loss"]
+            total = float(total_dev) if count else 0.0
         ips = count * cfg.data.batch_size / max(time.perf_counter() - t0,
                                                 1e-9)
-        val_total, n_val = 0.0, 0
+        # device-resident val losses: one fetch per epoch (SURVEY.md §3.1)
+        vl_rows = []
         for j, (vbatch, n_valid) in enumerate(val.epoch()):
             vl = trainer.eval_loss(state, jnp.asarray(vbatch),
                                    jax.random.fold_in(key, 30_000 + j))
             # per-sample losses: sum the TRUE rows only (padded repeats of
             # the last row must not contribute)
-            val_total += float(jnp.sum(vl[:n_valid]))
-            n_val += n_valid
+            vl_rows.append((n_valid, jnp.sum(vl[:n_valid])))
+        val_total = sum(float(v) for v in
+                        jax.device_get([r[1] for r in vl_rows]))
+        n_val = sum(r[0] for r in vl_rows)
         log.append(epoch=epoch,
-                   train_loss=total / max(count * cfg.data.batch_size, 1),
+                   train_loss=total / max(count, 1),
                    val_loss=val_total / max(n_val, 1), images_per_sec=ips)
         print(f"[diffusion] epoch {epoch + 1}/{epochs} "
-              f"train={total / max(count * cfg.data.batch_size, 1):.4f} "
+              f"train={total / max(count, 1):.4f} "
               f"val={val_total / max(n_val, 1):.4f} {ips:.0f} img/s")
         if (epoch + 1) % cfg.run.checkpoint_every_epochs == 0:
             ckpt.save(epoch + 1, state, key)

@@ -25,7 +25,7 @@ from vgd_tpu.models.gan import Generator
 from vgd_tpu.models.vae import (Encoder, kl_divergence, latent_to_spatial,
                                 reparameterize)
 from vgd_tpu.ops.image import to_signed
-from vgd_tpu.train.common import NetState, adam, mse
+from vgd_tpu.train.common import NetState, adam, mse, scan_epoch
 
 
 @struct.dataclass
@@ -67,10 +67,9 @@ class VAETrainer:
                              opt_state=opt_state),
             step=jnp.zeros((), jnp.int32))
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: VAEState, batch_uint8: jax.Array,
-                   key: jax.Array, kl_ramp: jax.Array
-                   ) -> Tuple[VAEState, Dict[str, jax.Array]]:
+    def _train_step_impl(self, state: VAEState, batch_uint8: jax.Array,
+                         key: jax.Array, kl_ramp: jax.Array
+                         ) -> Tuple[VAEState, Dict[str, jax.Array]]:
         cfg = self.cfg
         img = to_signed(batch_uint8)
         k_noise, k_eps = jax.random.split(key)
@@ -117,6 +116,22 @@ class VAETrainer:
                                           opt_state=new_opt),
             step=state.step + 1)
         return new_state, {"total": total, "recon": recon_loss, "kl": kl}
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: VAEState, batch_uint8: jax.Array,
+                   key: jax.Array, kl_ramp: jax.Array
+                   ) -> Tuple[VAEState, Dict[str, jax.Array]]:
+        return self._train_step_impl(state, batch_uint8, key, kl_ramp)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_epoch(self, state: VAEState, batches_uint8: jax.Array,
+                    key: jax.Array, kl_ramp: jax.Array
+                    ) -> Tuple[VAEState, Dict[str, jax.Array]]:
+        """ONE compiled scan over stacked batches (see train/common.py
+        scan_epoch) — removes per-step host dispatch from the hot loop
+        (main_vae.py:96-141)."""
+        return scan_epoch(self._train_step_impl, state, batches_uint8,
+                          key, kl_ramp)
 
     @functools.partial(jax.jit, static_argnums=0)
     def denoise(self, state: VAEState, noisy: jax.Array, key: jax.Array

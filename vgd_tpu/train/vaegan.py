@@ -34,7 +34,8 @@ from vgd_tpu.models.gan import Discriminator, Generator
 from vgd_tpu.models.vae import (Encoder, kl_divergence, latent_to_spatial,
                                 reparameterize)
 from vgd_tpu.ops.image import to_signed
-from vgd_tpu.train.common import NetState, adam, bce, mse
+from vgd_tpu.train.common import (NetState, adam, bce, mse,
+                                  scan_epoch)
 
 
 @struct.dataclass
@@ -194,17 +195,8 @@ class VAEGANTrainer:
         host dispatch/H2D overhead — the TPU-native answer to the
         reference's per-batch CPU->GPU copies (vaegan_code.py:66). Metrics
         are the per-epoch means."""
-        n_steps = batches_uint8.shape[0]
-
-        def body(carry, inp):
-            state, i = carry
-            new_state, m = self._train_step_impl(
-                state, inp, jax.random.fold_in(key, i), kl_ramp)
-            return (new_state, i + 1), m
-
-        (state, _), ms = jax.lax.scan(body, (state, jnp.int32(0)),
-                                      batches_uint8)
-        return state, jax.tree_util.tree_map(jnp.mean, ms)
+        return scan_epoch(self._train_step_impl, state, batches_uint8,
+                          key, kl_ramp)
 
     # -- validation: denoising pass (vaegan_code.py:150-167) ---------------
     @functools.partial(jax.jit, static_argnums=0)
