@@ -142,6 +142,38 @@ def test_checkpoint_roundtrip_rbg_key(tmp_path):
     ck.close()
 
 
+def test_checkpoint_restore_rbg_without_key_impl(tmp_path):
+    """Eval entry points (e.g. `tstr`, cli.py:543) call restore() with NO
+    key_impl. Against an rbg-keyed checkpoint the old threefry-template
+    first attempt raised out of tensorstore's asyncio in a way the
+    mismatch-filter missed (observed on the TPU tunnel during the round-4
+    soak: `sr` regime died with a structure-mismatch ValueError on the
+    keyless fallback). The PRNG family must instead be detected from the
+    checkpoint METADATA before any template attempt."""
+    key = jax.random.key(11, impl="rbg")
+    state = {"w": jnp.arange(2.0)}
+    ck = Checkpointer(str(tmp_path / "cknk"), keep=1)
+    ck.save(1, state, key, wait=True)
+    assert ck._key_impl_from_metadata(1) == "rbg"
+    _, rkey, _ = ck.restore({"w": jnp.zeros(2)})       # no key_impl
+    assert rkey is not None
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rkey)),
+                                  np.asarray(jax.random.key_data(key)))
+    ck.close()
+
+
+def test_checkpoint_restore_keyless_metadata(tmp_path):
+    """A checkpoint saved without an RNG key restores directly via the
+    metadata 'absent' path — no template attempts, key is None."""
+    ck = Checkpointer(str(tmp_path / "ckabs"), keep=1)
+    ck.save(1, {"w": jnp.arange(3.0)}, key=None, wait=True)
+    assert ck._key_impl_from_metadata(1) == "absent"
+    restored, rkey, step = ck.restore({"w": jnp.zeros(3)})
+    assert rkey is None and step == 1
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(3.0))
+    ck.close()
+
+
 def test_seed_all_rbg_deterministic():
     from vgd_tpu.core.rng import seed_all
     k1 = seed_all(42, impl="rbg")

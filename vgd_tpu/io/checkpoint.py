@@ -39,25 +39,56 @@ class Checkpointer:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
+    def _key_impl_from_metadata(self, step: int) -> Optional[str]:
+        """Read the saved rng_key's shape from checkpoint METADATA and map it
+        to the PRNG family ((2,) threefry / (4,) rbg) — deterministic, no
+        template-mismatch exception dance. Returns "absent" when the
+        checkpoint has no rng_key, None when metadata is unavailable."""
+        try:
+            meta = self.manager.item_metadata(step)
+            if hasattr(meta, "tree"):       # newer orbax wraps the pytree
+                meta = meta.tree
+            rk = meta.get("rng_key") if isinstance(meta, dict) else None
+            if rk is None:
+                return "absent"
+            shape = tuple(getattr(rk, "shape", ()) or ())
+            return {(4,): "rbg", (2,): "threefry2x32"}.get(shape)
+        except Exception:
+            return None
+
     def restore(self, state_template: Any, step: Optional[int] = None,
                 key_impl: Optional[str] = None
                 ) -> Tuple[Any, Optional[jax.Array], int]:
         """Restore (state, rng_key, step). ``state_template`` is a state with
         the right structure (e.g. a freshly init'ed one). ``key_impl`` names
         the PRNG family of the saved key (RunConfig.prng_impl); key_data
-        shape and wrapping are impl-specific (threefry (2,) vs rbg (4,))."""
+        shape and wrapping are impl-specific (threefry (2,) vs rbg (4,)).
+        When ``key_impl`` is not given (eval entry points), the family is
+        detected from the checkpoint metadata — a threefry-template attempt
+        against an rbg-keyed checkpoint is NOT guaranteed to raise a
+        catchable ValueError (tensorstore can surface it as a bare
+        Exception out of asyncio, observed on the TPU restore path)."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        # try the requested impl first, then the other family (key_data
-        # shapes differ: threefry (2,) vs rbg (4,) uint32), then keyless
-        # (checkpoints saved without an RNG key). Only template-mismatch
-        # errors fall through to the next attempt — a genuinely corrupt
-        # checkpoint or a state-shape mismatch must surface, not degrade
-        # silently to a fresh RNG key (ADVICE r2).
+        detected = self._key_impl_from_metadata(step)
+        if detected == "absent":
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore({"state": state_template}))
+            return restored["state"], None, step
+        # try the metadata-detected impl first (authoritative), then the
+        # requested impl, then the other family, then keyless (checkpoints
+        # saved without an RNG key). Only template-mismatch errors fall
+        # through to the next attempt — a genuinely corrupt checkpoint or a
+        # state-shape mismatch must surface, not degrade silently to a
+        # fresh RNG key (ADVICE r2).
         mismatch = (ValueError, KeyError, TypeError)
         attempts = []
-        impls = [key_impl, "rbg" if key_impl != "rbg" else None]
+        impls = []
+        for cand in (detected, key_impl,
+                     "rbg" if "rbg" not in (detected, key_impl) else None):
+            if cand not in impls:
+                impls.append(cand)
         for impl in impls:
             ref_key = (jax.random.key(0, impl=impl) if impl
                        else jax.random.key(0))
@@ -69,7 +100,14 @@ class Checkpointer:
                 key = jax.random.wrap_key_data(restored["rng_key"],
                                                impl=impl)
                 return restored["state"], key, step
-            except mismatch as e:
+            except Exception as e:   # noqa: BLE001 — see filter below
+                # tensorstore's async reader can surface a template shape
+                # mismatch as a bare Exception rather than ValueError;
+                # re-raise anything that doesn't look like one
+                if not isinstance(e, mismatch) and \
+                        "not compatible" not in str(e) and \
+                        "rng_key" not in str(e):
+                    raise
                 attempts.append(f"impl={impl}: {type(e).__name__}: {e}")
                 continue
         print(f"[checkpoint] no RNG key matched at step {step}; resuming "
