@@ -46,11 +46,19 @@ FLAG="--epochs 150 --image-size 64 --batch-size 64 --dataset-size 20000 \
       --fid --keep-checkpoints 4 --out-dir $OUT/soak_vaegan --seed 42"
 ( timeout 7200 python -m vgd_tpu.cli vaegan $FLAG & echo $! > /tmp/soak_vg.pid
   PID=$(cat /tmp/soak_vg.pid)
-  # SIGKILL mid-run: wait until epoch ~60 appears in the metric log, then -9
+  # SIGKILL mid-run: wait until epoch ~60 appears in the metric log, then -9.
+  # $PID is the `timeout` wrapper — SIGKILL must hit the python CHILD, or the
+  # trainer survives orphaned and the later --resume leg races it (observed
+  # in the first round-4 run: kill -9 $PID only removed the wrapper).
   for i in $(seq 1 720); do
     sleep 10
     N=$(wc -l < "$OUT/soak_vaegan/loss.jsonl" 2>/dev/null || echo 0)
-    if [ "$N" -ge 60 ]; then kill -9 "$PID"; echo "KILLED at epoch $N"; break; fi
+    if [ "$N" -ge 60 ]; then
+      CHILD=$(ps -o pid= --ppid "$PID" | head -1)
+      kill -9 ${CHILD:-$PID} "$PID" 2>/dev/null
+      echo "KILLED at epoch $N (python pid ${CHILD:-unknown}, wrapper $PID)"
+      break
+    fi
     kill -0 "$PID" 2>/dev/null || break
   done
   wait "$PID" 2>/dev/null )
