@@ -23,9 +23,41 @@ LOG=$OUT/soak_round4.log
 mkdir -p "$OUT"
 exec >>"$LOG" 2>&1
 
-gap() { sleep 95; }
+# Inter-leg gap: lease release lag AFTER the previous job, then a wedge-gate
+# probe (below) proving the tunnel still executes, then lease lag again
+# before the next job.
+gap() { sleep 95; probe; }
+
+# Wedge gate: the axon tunnel sometimes enters a state where device metadata
+# works but execution hangs forever (lease wedge; observed 2026-08-19 on the
+# first process after >5 h of quiet). Each leg already has a `timeout`, but a
+# wedged tunnel would burn every leg's full timeout in sequence. Before each
+# leg, prove the tunnel EXECUTES (matmul + host fetch) under a short timeout;
+# on failure, back off and retry — recovery needs zero-client quiet time
+# (observed up to ~45 min), so probes are spaced 5 min apart.
+probe() {
+  for attempt in $(seq 1 24); do
+    if timeout 150 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((512, 512))
+assert float((x @ x).sum()) == 512.0 ** 3
+print('probe ok')"; then
+      sleep 95   # lease release lag between the probe and the real leg
+      return 0
+    fi
+    # Escalating quiet windows: a probing client may itself delay recovery
+    # (the observed outage cleared only after ~45 min of zero-client time),
+    # so back off 5 -> 10 -> 15 -> 20 -> 30 -> 30... minutes.
+    backoff=$((attempt * 300)); [ $backoff -gt 1800 ] && backoff=1800
+    echo "probe wedged (attempt $attempt) at $(date -u); backing off ${backoff}s"
+    sleep $backoff
+  done
+  echo "tunnel did not recover after $attempt probes; giving up"
+  return 1
+}
 
 echo "=== round-4 soak start: $(date -u) ==="
+probe || exit 1
 
 # ---------- A. TSTR ----------
 timeout 1800 python -m vgd_tpu.cli glow-eeg --iters 6000 --event-type mi \
