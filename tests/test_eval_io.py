@@ -162,6 +162,44 @@ def test_checkpoint_restore_rbg_without_key_impl(tmp_path):
     ck.close()
 
 
+def test_checkpoint_restore_fresh_instance_no_key_impl(tmp_path):
+    """The cross-process eval path (tstr/eval-*): the restoring Checkpointer
+    is a FRESH instance that never save()d. Without a handler registered at
+    construction, orbax's item_metadata() returns None for it, which the old
+    code misread as 'checkpoint has no rng_key' and sent the keyless
+    template against a keyed checkpoint — structure-mismatch ValueError
+    (observed live: round-4 soak TSTR `synt` leg, 2026-08-19 22:05 UTC)."""
+    key = jax.random.key(11, impl="rbg")
+    state = {"w": jnp.arange(2.0)}
+    ck = Checkpointer(str(tmp_path / "ckf"), keep=1)
+    ck.save(1, state, key, wait=True)
+    ck.close()
+    ck2 = Checkpointer(str(tmp_path / "ckf"), keep=1)   # fresh, never saved
+    assert ck2._key_impl_from_metadata(1) == "rbg"
+    _, rkey, _ = ck2.restore({"w": jnp.zeros(2)})       # no key_impl
+    assert rkey is not None
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rkey)),
+                                  np.asarray(jax.random.key_data(key)))
+    ck2.close()
+
+
+def test_checkpoint_restore_metadata_unavailable_falls_to_attempts(
+        tmp_path, monkeypatch):
+    """When metadata is genuinely unreadable (None), detection must report
+    unknown — NOT 'absent' — so the template-attempt chain still finds the
+    right PRNG family instead of crashing on the keyless fallback."""
+    key = jax.random.key(5, impl="rbg")
+    ck = Checkpointer(str(tmp_path / "cku"), keep=1)
+    ck.save(1, {"w": jnp.arange(2.0)}, key, wait=True)
+    monkeypatch.setattr(ck.manager, "item_metadata", lambda step: None)
+    assert ck._key_impl_from_metadata(1) is None
+    _, rkey, _ = ck.restore({"w": jnp.zeros(2)})
+    assert rkey is not None
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rkey)),
+                                  np.asarray(jax.random.key_data(key)))
+    ck.close()
+
+
 def test_checkpoint_restore_keyless_metadata(tmp_path):
     """A checkpoint saved without an RNG key restores directly via the
     metadata 'absent' path — no template attempts, key is None."""

@@ -25,7 +25,18 @@ class Checkpointer:
         os.makedirs(self.directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(max_to_keep=keep,
                                                create=True)
-        self.manager = ocp.CheckpointManager(self.directory, options=options)
+        # Register the standard handler up front: a manager that has never
+        # save()d (fresh process — every eval entry point) otherwise has no
+        # handler for the default item, item_metadata() returns None, and
+        # the PRNG-family detection below is blind (observed live: the TSTR
+        # `synt` leg of the round-4 soak died on the keyless fallback).
+        try:
+            self.manager = ocp.CheckpointManager(
+                self.directory, options=options,
+                item_handlers=ocp.StandardCheckpointHandler())
+        except TypeError:   # older orbax without item_handlers
+            self.manager = ocp.CheckpointManager(self.directory,
+                                                 options=options)
 
     def save(self, step: int, state: Any, key: Optional[jax.Array] = None,
              wait: bool = False):
@@ -42,16 +53,21 @@ class Checkpointer:
     def _key_impl_from_metadata(self, step: int) -> Optional[str]:
         """Read the saved rng_key's shape from checkpoint METADATA and map it
         to the PRNG family ((2,) threefry / (4,) rbg) — deterministic, no
-        template-mismatch exception dance. Returns "absent" when the
-        checkpoint has no rng_key, None when metadata is unavailable."""
+        template-mismatch exception dance. Returns "absent" ONLY when real
+        metadata shows no rng_key; None (unknown) when metadata is
+        unavailable — a fresh manager with no registered handler returns
+        None from item_metadata(), and treating that as "absent" sent the
+        keyless restore against a keyed checkpoint (structure-mismatch
+        ValueError, observed live on the TSTR soak leg)."""
         try:
             meta = self.manager.item_metadata(step)
             if hasattr(meta, "tree"):       # newer orbax wraps the pytree
                 meta = meta.tree
-            rk = meta.get("rng_key") if isinstance(meta, dict) else None
-            if rk is None:
+            if not isinstance(meta, dict):
+                return None                 # metadata unavailable, not absent
+            if "rng_key" not in meta:
                 return "absent"
-            shape = tuple(getattr(rk, "shape", ()) or ())
+            shape = tuple(getattr(meta["rng_key"], "shape", ()) or ())
             return {(4,): "rbg", (2,): "threefry2x32"}.get(shape)
         except Exception:
             return None
