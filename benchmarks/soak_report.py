@@ -40,7 +40,7 @@ def flagship():
     if not rs:
         print("(flagship: no rows yet)")
         return
-    epochs = [r["epoch"] for r in rs]
+    epochs = [int(r["epoch"]) for r in rs]
     uniq = sorted(set(epochs))
     dup = len(epochs) - len(uniq)
     total = max(uniq) + 1
@@ -49,7 +49,7 @@ def flagship():
           f"epochs 0..{max(uniq)}, {dup} duplicate rows (kill overlap), "
           f"missing: {missing or 'none'}")
     # continuity across the kill: the jsonl from both legs, last row wins
-    by_epoch = {r["epoch"]: r for r in rs}
+    by_epoch = {int(r["epoch"]): r for r in rs}
     picks = [e for e in (0, 9, 24, 49, 74, 99, 124, 149) if e in by_epoch]
     cols = ["epoch", "train_recon", "train_kl", "train_adv", "val_loss",
             "ssim", "psnr", "inception_score", "fid", "images_per_sec",
@@ -59,10 +59,11 @@ def flagship():
     print("|" + "---|" * len(have))
     for e in picks:
         r = by_epoch[e]
-        print("| " + " | ".join(fmt(r.get(c, ""),
-                                    2 if c in ("psnr", "fid",
-                                               "images_per_sec", "val_secs")
-                                    else 4) for c in have) + " |")
+        print("| " + " | ".join(
+            str(e) if c == "epoch" else
+            fmt(r.get(c, ""), 2 if c in ("psnr", "fid", "images_per_sec",
+                                         "val_secs") else 4)
+            for c in have) + " |")
     ips = [r["images_per_sec"] for r in rs[1:]]
     vs = [r.get("val_secs", 0) for r in rs[1:]]
     if ips:
@@ -111,6 +112,32 @@ def dcgan():
             print("  " + " ".join(fmt(x) for x in arr[i]))
 
 
+def vae():
+    rs = rows(os.path.join(OUT, "soak_vae", "vae_loss.jsonl"))
+    if not rs:
+        print("(vae: no rows yet)")
+        return
+    print(f"### Denoising-VAE {len(rs)}-epoch soak")
+    print("| epoch | train_loss | val_loss | img/s |")
+    print("|---|---|---|---|")
+    for r in rs[:: max(1, len(rs) // 8)] + ([rs[-1]] if rs else []):
+        print(f"| {r['epoch']} | {fmt(r.get('train_loss', r.get('loss')))} | "
+              f"{fmt(r.get('val_loss'))} | {r['images_per_sec']:.0f} |")
+    p = os.path.join(OUT, "soak_vae", "vae_eval_metrics.npz")
+    if os.path.exists(p):
+        d = np.load(p, allow_pickle=True)
+        arr, cols = d["results"], [str(c) for c in d["columns"]]
+        print(f"aggregated-posterior checkpoint sweep "
+              f"({arr.shape[0]} ckpts): | " + " | ".join(cols) + " |")
+        for i in (0, arr.shape[0] // 2, arr.shape[0] - 1):
+            print("  | " + " | ".join(fmt(x) for x in arr[i]) + " |")
+    p = os.path.join(OUT, "soak_vae", "occlusion_metrics.npz")
+    if os.path.exists(p):
+        d = dict(np.load(p))
+        print("occlusion eval: " +
+              " ".join(f"{k}={float(v):.4f}" for k, v in d.items()))
+
+
 def tstr():
     print("### EEG TSTR (synthetic-ERD dataset, subjects 01/02)")
     hdr = False
@@ -143,5 +170,7 @@ if __name__ == "__main__":
     ddpm()
     print()
     dcgan()
+    print()
+    vae()
     print()
     tstr()
