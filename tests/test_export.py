@@ -1,0 +1,104 @@
+"""AOT serving export (io/export.py): the compiled-artifact deployment path.
+
+The reference has no serving story (interactive sampler loops only, e.g.
+main_vae.py:348-413); these tests pin the TPU-native one: a trained
+checkpoint exports to a self-contained StableHLO artifact (params baked in)
+that reloads WITHOUT model code and reproduces the in-process inference
+path exactly.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vgd_tpu import cli
+from vgd_tpu.core.config import DataConfig, RunConfig, VAEConfig
+from vgd_tpu.core.rng import seed_all
+from vgd_tpu.io.checkpoint import Checkpointer
+from vgd_tpu.io.export import (build_serving_fn, export_serving,
+                               load_artifact, run_artifact)
+from vgd_tpu.train import loop as L
+from vgd_tpu.train.vae import VAETrainer
+
+
+@pytest.fixture(scope="module")
+def vae_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("export_vae")
+    cfg = VAEConfig(
+        data=DataConfig(image_size=(64, 64), batch_size=4, dataset_size=16),
+        run=RunConfig(out_dir=str(out), compute_dtype="float32"),
+        epochs=1)
+    L.run_vae(cfg, max_steps_per_epoch=2, epoch_scan=False)
+    return cfg
+
+
+def _restored(cfg):
+    trainer = VAETrainer(cfg, tuple(cfg.data.image_size) + (3,))
+    template = trainer.init(seed_all(0), 4)
+    state, _, _ = Checkpointer(
+        os.path.join(cfg.run.out_dir, "ckpt")).restore(template)
+    return trainer, state
+
+
+def test_export_sample_roundtrip_matches_direct(vae_dir):
+    cfg = vae_dir
+    path = export_serving("vae", cfg, n=4, platforms=("cpu",),
+                          artifact_path=os.path.join(cfg.run.out_dir,
+                                                     "art.jaxexport"))
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+
+    call, meta = load_artifact(path)
+    assert meta["family"] == "vae" and meta["mode"] == "sample"
+    out = np.asarray(call(jnp.uint32(7)))
+    assert out.shape == (4, 64, 64, 3) and np.isfinite(out).all()
+    # deterministic per seed, distinct across seeds
+    np.testing.assert_array_equal(out, np.asarray(call(jnp.uint32(7))))
+    assert not np.array_equal(out, np.asarray(call(jnp.uint32(8))))
+
+    # parity with the in-process inference path (same params, same seed)
+    trainer, state = _restored(cfg)
+    fn, _ = build_serving_fn("vae", cfg, trainer, state, 4)
+    np.testing.assert_allclose(out, np.asarray(fn(jnp.uint32(7))),
+                               rtol=0, atol=1e-5)
+
+
+def test_export_denoise_mode(vae_dir):
+    cfg = vae_dir
+    path = export_serving("vae", cfg, n=2, mode="denoise",
+                          platforms=("cpu",),
+                          artifact_path=os.path.join(cfg.run.out_dir,
+                                                     "den.jaxexport"))
+    x = np.clip(np.random.default_rng(0).normal(0, 0.3, (2, 64, 64, 3)),
+                -1, 1).astype(np.float32)
+    out = run_artifact(path, seed=3, inputs=x)
+    assert out.shape == x.shape and np.isfinite(out).all()
+
+    trainer, state = _restored(cfg)
+    fn, _ = build_serving_fn("vae", cfg, trainer, state, 2, mode="denoise")
+    np.testing.assert_allclose(out, np.asarray(fn(jnp.asarray(x),
+                                                  jnp.uint32(3))),
+                               rtol=0, atol=1e-5)
+
+
+def test_export_infer_cli(vae_dir, tmp_path):
+    cfg = vae_dir
+    art = str(tmp_path / "cli.jaxexport")
+    assert cli.main(["export", "--family", "vae", "--out-dir",
+                     cfg.run.out_dir, "--image-size", "64",
+                     "-n", "4", "--platforms", "cpu",
+                     "--artifact", art]) == 0
+    grid = str(tmp_path / "grid.jpg")
+    assert cli.main(["infer", "--artifact", art, "--seed", "5",
+                     "--out", grid]) == 0
+    assert os.path.exists(grid)
+
+
+def test_export_rejects_bad_mode(vae_dir):
+    cfg = vae_dir
+    trainer, state = _restored(cfg)
+    with pytest.raises(ValueError):
+        build_serving_fn("gan", cfg, trainer, state, 2, mode="denoise")
+    with pytest.raises(ValueError):
+        build_serving_fn("vae", cfg, trainer, state, 2, mode="nope")

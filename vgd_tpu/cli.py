@@ -252,6 +252,47 @@ def main(argv=None):
     p.add_argument("--event-type", default="mi",
                    choices=["mi", "baseline"])
 
+    p = sub.add_parser("export", help="AOT serving export: compile a "
+                       "trained checkpoint's inference path (sampler or "
+                       "denoiser) into a self-contained StableHLO artifact "
+                       "lowered for tpu+cpu, parameters baked in "
+                       "(io/export.py; run it with `infer`)")
+    _add_common(p)
+    p.add_argument("--family", required=True,
+                   choices=["vaegan", "vae", "gan", "wgan", "glow",
+                            "glow-eeg", "diffusion"])
+    p.add_argument("--mode", default="sample",
+                   choices=["sample", "denoise"],
+                   help="sample: seed -> image grid batch; denoise: "
+                   "(images, seed) -> reconstructions (vae/vaegan)")
+    p.add_argument("-n", "--num-samples", type=int, default=64)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--ddim-steps", type=int, default=0)
+    p.add_argument("--ddim-eta", type=float, default=0.0)
+    p.add_argument("--no-attn", action="store_true")
+    p.add_argument("--event-type", default="mi",
+                   choices=["mi", "baseline"])
+    p.add_argument("--platforms", type=str, default="tpu,cpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="output path (default "
+                   "<out-dir>/serving_<family>_<mode>.jaxexport)")
+
+    p = sub.add_parser("infer", help="load a `export` artifact and run one "
+                       "serving call (no model code / checkpoint needed)")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default=None,
+                   help="output grid jpg (images) / png (eeg); default "
+                   "next to the artifact")
+    p.add_argument("--input", type=str, default=None,
+                   help="denoise artifacts: .npy batch or image file")
+    p.add_argument("--device", type=str, default=None,
+                   choices=["cpu", "tpu"])
+    p.add_argument("--num-cpu-devices", type=int, default=None)
+
     p = sub.add_parser("tstr", help="EEG TSTR downstream eval "
                        "(test_eegglow.py capability)")
     p.add_argument("--method", default="synt",
@@ -415,6 +456,17 @@ def main(argv=None):
         L.sample_from_dir(a.family, cfg, n=a.num_samples, out_path=a.out,
                           step=a.step, seed=a.seed,
                           ddim_steps=a.ddim_steps, ddim_eta=a.ddim_eta)
+    elif a.cmd == "export":
+        from vgd_tpu.io.export import export_serving
+        cfg = _sample_cfg(a)
+        export_serving(a.family, cfg, n=a.num_samples, mode=a.mode,
+                       step=a.step, ddim_steps=a.ddim_steps,
+                       ddim_eta=a.ddim_eta,
+                       platforms=tuple(s.strip() for s in
+                                       a.platforms.split(",") if s.strip()),
+                       artifact_path=a.artifact, seed=a.seed)
+    elif a.cmd == "infer":
+        _infer(a)
     elif a.cmd == "denoise":
         _denoise(a)
     elif a.cmd == "tstr":
@@ -446,6 +498,49 @@ def _sample_cfg(a):
     return dataclasses.replace(cfg, data=_data_cfg(cfg.data, a),
                                run=_run_cfg(cfg.run, a,
                                             f"runs/{a.family}"))
+
+
+def _infer(a):
+    """Run one serving call on an `export` artifact — the deployment-side
+    counterpart of `export`: no model code, config, or checkpoint is
+    touched, only the self-contained StableHLO program."""
+    import os
+
+    import numpy as np
+
+    from vgd_tpu.io.export import load_artifact, run_artifact
+
+    _, meta = load_artifact(a.artifact)
+    inputs = None
+    if meta.get("mode") == "denoise":
+        if not a.input:
+            raise SystemExit("denoise artifact needs --input "
+                             "(.npy batch or image file)")
+        n = int(meta["n"])
+        if a.input.endswith(".npy"):
+            inputs = np.load(a.input).astype(np.float32)
+        else:
+            from PIL import Image
+            size = tuple(meta["config"]["data"]["image_size"])
+            img = Image.open(a.input).convert("RGB").resize(size)
+            inputs = (np.asarray(img, np.float32)[None] / 127.5 - 1.0)
+        reps = -(-n // inputs.shape[0])          # pad by repetition to n
+        inputs = np.tile(inputs, (reps, 1, 1, 1))[:n]
+    out = run_artifact(a.artifact, seed=a.seed, inputs=inputs)
+    base = a.out or a.artifact.rsplit(".", 1)[0]
+    if meta.get("family") == "glow-eeg":
+        from vgd_tpu.data.eeg import CHANNEL_NAMES
+        from vgd_tpu.utils.viz import plot_eeg_signals
+        dst = base if base.endswith(".png") else base + ".png"
+        arr = out[:, :, 0, :].transpose(0, 2, 1)
+        plot_eeg_signals(arr, dst, channel_names=CHANNEL_NAMES)
+        np.savez(dst.rsplit(".", 1)[0] + ".npz", signals=out)
+    else:
+        from vgd_tpu.io.artifacts import save_grid
+        dst = base if base.endswith((".jpg", ".png")) else base + ".jpg"
+        save_grid(out, dst)
+    print(f"[infer] {a.artifact} (mode={meta.get('mode', 'sample')}) "
+          f"-> {dst}  out shape {out.shape}")
 
 
 def _denoise(a):
