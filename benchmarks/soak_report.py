@@ -52,8 +52,8 @@ def flagship():
     by_epoch = {int(r["epoch"]): r for r in rs}
     picks = [e for e in (0, 9, 24, 49, 74, 99, 124, 149) if e in by_epoch]
     cols = ["epoch", "train_recon", "train_kl", "train_adv", "val_loss",
-            "ssim", "psnr", "inception_score", "fid", "images_per_sec",
-            "val_secs"]
+            "ssim", "psnr", "inception_score", "fid", "precision",
+            "recall", "f1", "images_per_sec", "val_secs"]
     have = [c for c in cols if any(c in by_epoch[e] for e in picks)]
     print("| " + " | ".join(have) + " |")
     print("|" + "---|" * len(have))
