@@ -59,7 +59,9 @@ def test_csp_separates_variance_structure():
 def test_tstr_on_synthetic_erd_data():
     """Synthetic EEG carries a class-dependent mu-rhythm (ERD); the full
     bandpass->CSP->LDA pipeline must classify it well above chance
-    (test_eegglow.py:169-194 protocol)."""
+    (test_eegglow.py:169-194 protocol) — but NOT at saturation: the
+    per-trial ERD variability (OVERLAP_SIGMA, VERDICT r4 item 3) keeps the
+    classes overlapping so the TSTR regime table stays informative."""
     tr_mi = synthetic_trials(80, "mi", seed=1)
     tr_bl = synthetic_trials(80, "baseline", seed=1)
     te_mi = synthetic_trials(40, "mi", seed=2)
@@ -71,8 +73,16 @@ def test_tstr_on_synthetic_erd_data():
     train_scores, test_scores = tstr_evaluate(X_train, y_train,
                                               X_test, y_test)
     assert train_scores["acc"] > 0.8
-    assert test_scores["acc"] > 0.7
+    assert 0.7 < test_scores["acc"] < 1.0, \
+        "saturated/chance TSTR — overlap knob regressed"
     assert -1.0 <= test_scores["k"] <= 1.0
+    # overlap=0 must reproduce the fully separable legacy behaviour
+    sep_mi = synthetic_trials(40, "mi", seed=3, overlap=0.0)
+    sep_bl = synthetic_trials(40, "baseline", seed=3, overlap=0.0)
+    Xs = np.concatenate([sep_mi, sep_bl]).astype(np.float64)
+    ys = np.concatenate([np.ones(40), np.zeros(40)])
+    sep_train, _ = tstr_evaluate(Xs, ys, Xs, ys)
+    assert sep_train["acc"] > 0.95
 
 
 def test_mean_central_psd_shape():

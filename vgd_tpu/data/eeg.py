@@ -62,11 +62,31 @@ def extract_trials(data: dict, event_type: str = "mi",
     return trials
 
 
+#: Per-trial lognormal sigma on the central-channel mu amplitude. Tuned by
+#: benchmarks/tune_eeg_overlap.py so that bandpass->CSP->LDA on real synthetic
+#: trials lands strictly between chance and 1.0 (~0.83 acc): with the original
+#: fixed 4x amplitude gap the classes were linearly separable by construction
+#: and every TSTR regime saturated at 1.0, making the regime table
+#: (real >= sr >= synt > chance, test_eegglow.py:115-166) carry no information.
+OVERLAP_SIGMA = 0.7
+
+
 def synthetic_trials(n: int, event_type: str, seed: int = 0,
                      num_channels: int = NUM_CHANNELS,
-                     num_samples: int = WINDOW // DOWNSAMPLING) -> np.ndarray:
+                     num_samples: int = WINDOW // DOWNSAMPLING,
+                     erd: float = 0.25,
+                     overlap: float = OVERLAP_SIGMA) -> np.ndarray:
     """Band-limited synthetic EEG: pink-ish noise + a mu rhythm whose power
-    over central channels depends on the class (MI suppresses mu — ERD)."""
+    over central channels depends on the class (MI suppresses mu — ERD).
+
+    ``erd``: multiplicative mu suppression on central channels for MI trials
+    (0.25 = the mean 4x amplitude / 16x power ERD).
+    ``overlap``: sigma of a per-trial lognormal gain shared by the central
+    channels' mu amplitude — trial-to-trial ERD-strength variability. 0
+    reproduces the fully separable classes; the default ``OVERLAP_SIGMA``
+    makes the class-conditional mu-power distributions overlap so downstream
+    CSP+LDA accuracy is informative rather than saturated.
+    """
     rng = np.random.default_rng(seed + (0 if event_type == "mi" else 10_000))
     fs = FS / DOWNSAMPLING
     t = np.arange(num_samples) / fs
@@ -78,12 +98,18 @@ def synthetic_trials(n: int, event_type: str, seed: int = 0,
         x = np.cumsum(x, axis=1)
         x -= x.mean(axis=1, keepdims=True)
         x /= (x.std(axis=1, keepdims=True) + 1e-6)
+        # one gain per trial (shared across central channels): independent
+        # per-channel draws would average out under CSP and restore
+        # separability.
+        gain = float(rng.lognormal(0.0, overlap)) if overlap > 0 else 1.0
         for ch in range(num_channels):
             f_mu = rng.uniform(9.0, 12.0)
             phase = rng.uniform(0, 2 * np.pi)
             amp = 1.5 if ch in central else 0.4
-            if event_type == "mi" and ch in central:
-                amp *= 0.25  # event-related desynchronisation
+            if ch in central:
+                amp *= gain
+                if event_type == "mi":
+                    amp *= erd  # event-related desynchronisation
             x[ch] += amp * np.sin(2 * np.pi * f_mu * t + phase)
         out[i] = x * 10.0
     return out
