@@ -51,9 +51,13 @@ def flagship():
     # continuity across the kill: the jsonl from both legs, last row wins
     by_epoch = {int(r["epoch"]): r for r in rs}
     picks = [e for e in (0, 9, 24, 49, 74, 99, 124, 149) if e in by_epoch]
+    # *_surrogate columns = random-init Inception weights (egress-blocked):
+    # FID/P/R/F1 are relative-trend-only two-sample stats, IS is dropped
     cols = ["epoch", "train_recon", "train_kl", "train_adv", "val_loss",
-            "ssim", "psnr", "inception_score", "fid", "precision",
-            "recall", "f1", "images_per_sec", "val_secs"]
+            "ssim", "psnr", "inception_score", "fid", "fid_surrogate",
+            "precision", "precision_surrogate", "recall",
+            "recall_surrogate", "f1", "f1_surrogate",
+            "images_per_sec", "val_secs"]
     have = [c for c in cols if any(c in by_epoch[e] for e in picks)]
     print("| " + " | ".join(have) + " |")
     print("|" + "---|" * len(have))
@@ -61,8 +65,8 @@ def flagship():
         r = by_epoch[e]
         print("| " + " | ".join(
             str(e) if c == "epoch" else
-            fmt(r.get(c, ""), 2 if c in ("psnr", "fid", "images_per_sec",
-                                         "val_secs") else 4)
+            fmt(r.get(c, ""), 2 if c in ("psnr", "fid", "fid_surrogate",
+                                         "images_per_sec", "val_secs") else 4)
             for c in have) + " |")
     ips = [r["images_per_sec"] for r in rs[1:]]
     vs = [r.get("val_secs", 0) for r in rs[1:]]

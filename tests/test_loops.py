@@ -112,6 +112,25 @@ def test_eval_vae_aggregated_posterior_cli(vae_run_dir):
     assert glob.glob(os.path.join(vae_run_dir, "vae_aggpost_step_*.jpg"))
 
 
+def test_eval_vae_occlusion_composes_with_sweep(vae_run_dir, capsys):
+    """--fid --occlusion must run BOTH the occlusion analysis and the
+    aggregated-posterior checkpoint sweep (VERDICT r4 item 4: the flags
+    used to be an if/else and --occlusion silently dropped the sweep)."""
+    for f in ("occlusion_metrics.npz", "vae_eval_metrics.npz"):
+        p = os.path.join(vae_run_dir, f)
+        if os.path.exists(p):
+            os.remove(p)
+    rc = cli.main(["eval-vae", "--fid", "--occlusion",
+                   "--out-dir", vae_run_dir,
+                   "--batch-size", "4", "--dataset-size", "16",
+                   "--max-checkpoints", "1", "--max-batches", "1"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(vae_run_dir, "occlusion_metrics.npz"))
+    assert os.path.exists(os.path.join(vae_run_dir, "vae_eval_metrics.npz"))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "occlusion" in out and "sweep" in out
+
+
 def test_sample_vae_cli(vae_run_dir):
     out = os.path.join(vae_run_dir, "samples.jpg")
     rc = cli.main(["sample", "--family", "vae", "--out-dir", vae_run_dir,
@@ -135,8 +154,10 @@ def test_aggregated_posterior_sweep_api(vae_run_dir):
                                      max_eval_batches=2)
     assert len(res) == 1
     assert np.isfinite(res[0]["ssim"])
-    assert np.isfinite(res[0]["fid"]) and res[0]["fid"] >= 0
-    assert np.isfinite(res[0]["inception_score"])
+    # random-init weights => metrics carry the _surrogate suffix, and IS
+    # (identically ~1.0 under random logits) is dropped (VERDICT r4 item 5)
+    assert np.isfinite(res[0]["fid_surrogate"]) and res[0]["fid_surrogate"] >= 0
+    assert "fid" not in res[0] and "inception_score" not in res[0]
 
 
 # ---------------------------------------------------------------------------

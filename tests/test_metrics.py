@@ -111,6 +111,36 @@ def test_metric_accumulator_with_synthetic_features():
     assert out["inception_score"] >= 1.0
 
 
+def test_metric_accumulator_surrogate_weight_tagging():
+    """With random-init Inception weights (weights_tag='random-init'), the
+    feature-based metrics must carry a _surrogate suffix and IS must be
+    dropped (identically ~1.0 under random logits) — VERDICT r4 item 5:
+    no logged row may be misread as real-Inception quality."""
+    rng = np.random.default_rng(1)
+
+    def fake_features(x_uint8):
+        flat = x_uint8.reshape(len(x_uint8), -1).astype(np.float32) / 255.0
+        return flat[:, :16], flat[:, :10]
+
+    fake_features.weights_tag = "random-init"  # as load_inception sets it
+    acc = MetricAccumulator(feature_fn=fake_features)
+    real = jnp.asarray(rng.uniform(0, 1, (8, 16, 16, 3)), jnp.float32)
+    fake = jnp.clip(real + 0.2 * rng.normal(0, 1, real.shape)
+                    .astype(np.float32), 0, 1)
+    acc.update(fake, real)
+    out = acc.compute()
+    assert "fid_surrogate" in out and np.isfinite(out["fid_surrogate"])
+    assert "precision_surrogate" in out
+    for k in ("fid", "inception_score", "precision", "recall", "f1"):
+        assert k not in out, k
+    # an explicit real tag (e.g. a weights path) keeps the plain keys
+    acc2 = MetricAccumulator(feature_fn=fake_features,
+                             weights_tag="/weights/pt_inception.pth")
+    acc2.update(fake, real)
+    out2 = acc2.compute()
+    assert "fid" in out2 and "inception_score" in out2
+
+
 def test_metric_accumulator_padded_batch_unbiased():
     """Padded eval batches (data/celeba.py Loader pads the last batch to a
     static shape) must score identically to the unpadded data: metric inputs

@@ -411,12 +411,16 @@ def main(argv=None):
                                    noise_max_std=a.noise_std)
         cfg = dataclasses.replace(cfg, data=data,
                                   run=_run_cfg(cfg.run, a, "runs/vae"))
+        # --occlusion COMPOSES with the checkpoint sweep (it used to replace
+        # it, silently dropping the aggregated-posterior FID sweep —
+        # VERDICT r4 item 4). Default (no flags) runs the sweep alone.
+        res = {}
         if a.occlusion:
-            res = L.evaluate_vae_occlusion(cfg, max_batches=a.max_batches,
-                                           step=a.step)
-        else:
+            res["occlusion"] = L.evaluate_vae_occlusion(
+                cfg, max_batches=a.max_batches, step=a.step)
+        if a.fid or not a.occlusion:
             feature_fn, _ = L.load_feature_fn(a.fid, a.inception_weights)
-            res = L.evaluate_vae_checkpoints(
+            res["sweep"] = L.evaluate_vae_checkpoints(
                 cfg, feature_fn=feature_fn,
                 max_checkpoints=a.max_checkpoints,
                 max_eval_batches=a.max_batches)

@@ -228,4 +228,7 @@ def load_inception(weights_path: Optional[str] = None, feature: str = "64",
         x = jnp.asarray(x_uint8, F32) / 255.0
         return run(x)
 
+    # carried so MetricAccumulator can tag surrogate-weight metrics without
+    # every call site threading the tag (VERDICT r4 item 5)
+    feature_fn.weights_tag = tag
     return feature_fn, tag

@@ -210,9 +210,18 @@ class MetricAccumulator:
     logits)); see vgd_tpu.eval.inception.load_inception.
     """
 
-    def __init__(self, feature_fn=None, manifold_k: Optional[int] = 3):
+    def __init__(self, feature_fn=None, manifold_k: Optional[int] = 3,
+                 weights_tag: Optional[str] = None):
         self.feature_fn = feature_fn
         self.manifold_k = manifold_k
+        # 'random-init' (see eval/inception.py load_inception) marks the
+        # egress-blocked surrogate: FID over random-projection features is
+        # still a valid two-sample statistic (relative trend only), but IS
+        # is provably ~1.0 under random logits. compute() suffixes the
+        # feature-based keys with '_surrogate' and drops IS so no logged row
+        # can be misread as real-Inception quality (VERDICT r4 item 5).
+        self.weights_tag = (weights_tag if weights_tag is not None
+                            else getattr(feature_fn, "weights_tag", None))
         self.reset()
 
     def reset(self):
@@ -258,15 +267,21 @@ class MetricAccumulator:
         if self.feature_fn is not None and self._feat_fake:
             feat_fake = np.concatenate(jax.device_get(self._feat_fake))
             feat_real = np.concatenate(jax.device_get(self._feat_real))
-            logits = np.concatenate(jax.device_get(self._logits_fake))
-            out["fid"] = frechet_distance(feat_real, feat_fake)
-            is_mean, is_std = inception_score_from_logits(logits)
-            out["inception_score"] = is_mean
-            out["inception_score_std"] = is_std
+            surrogate = self.weights_tag == "random-init"
+            sfx = "_surrogate" if surrogate else ""
+            out["fid" + sfx] = frechet_distance(feat_real, feat_fake)
+            if not surrogate:
+                # IS needs a trained classifier head; under random logits it
+                # is identically ~1.0 (measured: 151 soak epochs all
+                # 1.0000000) — logging it would read as mode collapse.
+                logits = np.concatenate(jax.device_get(self._logits_fake))
+                is_mean, is_std = inception_score_from_logits(logits)
+                out["inception_score"] = is_mean
+                out["inception_score_std"] = is_std
             if self.manifold_k is not None:
                 pr = manifold_precision_recall(feat_real, feat_fake,
                                                k=self.manifold_k)
-                out["precision"] = pr["precision"]
-                out["recall"] = pr["recall"]
-                out["f1"] = pr["f1"]
+                out["precision" + sfx] = pr["precision"]
+                out["recall" + sfx] = pr["recall"]
+                out["f1" + sfx] = pr["f1"]
         return out
