@@ -41,6 +41,36 @@ def test_make_image_datasets_synthetic_fallback():
     assert tr.num_examples == 36 and va.num_examples == 4
 
 
+def test_stream_resume_continuation_equivalent_across_epoch_boundary():
+    """Kill+resume determinism at the data layer (VERDICT r4 item 8): a fresh
+    Loader's stream(k) must yield byte-identical batches to an uninterrupted
+    stream from batch k onward — including k at and beyond epoch boundaries
+    (the fast-forward replays only the per-epoch shuffle permutations,
+    data/celeba.py:204-224). This is what makes a SIGKILLed Glow run resumed
+    via stream(start+1) (train/loop.py:694-698) consume exactly the batches
+    the uninterrupted run would have."""
+    arr = synthetic_faces(40, (8, 8), seed=3)
+    ds = ArrayDataset(arr)
+    idx = np.arange(40)
+
+    def fresh_loader():
+        return Loader(ds, idx, batch_size=8, shuffle=True, seed=11)
+
+    # 5 batches/epoch; consume 13 => crosses two epoch boundaries
+    full = fresh_loader().stream(0)
+    consumed = [next(full).copy() for _ in range(13)]
+    # resume points: mid-epoch, exact boundary, first-after-boundary, deep
+    for k in (1, 4, 5, 6, 10, 12):
+        resumed = fresh_loader().stream(k)
+        for j in range(k, 13):
+            np.testing.assert_array_equal(
+                next(resumed), consumed[j],
+                err_msg=f"stream({k}) batch {j} diverged")
+    # uniqueness within an epoch: no batch repeated by the skip logic
+    flat0 = np.stack(consumed[:5]).reshape(5, -1)
+    assert len({row.tobytes() for row in flat0}) == 5
+
+
 def test_gaussian_noise_ranges():
     key = jax.random.key(0)
     img = jnp.zeros((4, 16, 16, 3))
