@@ -71,6 +71,18 @@ def test_stream_resume_continuation_equivalent_across_epoch_boundary():
     assert len({row.tobytes() for row in flat0}) == 5
 
 
+def test_eeg_synthetic_salt_is_process_independent(monkeypatch):
+    """The synthetic T/E/subject salt must not depend on Python's per-process
+    randomized hash() — otherwise the flow-training process and the TSTR
+    eval process would see different 'real' EEG data."""
+    import builtins
+    from vgd_tpu.data.eeg import EEGDataset
+    ds1 = EEGDataset(None, "E", "mi", "01", synthetic_n=4)
+    monkeypatch.setattr(builtins, "hash", lambda *a: 0xDEAD)
+    ds2 = EEGDataset(None, "E", "mi", "01", synthetic_n=4)
+    np.testing.assert_array_equal(ds1.dataset, ds2.dataset)
+
+
 def test_gaussian_noise_ranges():
     key = jax.random.key(0)
     img = jnp.zeros((4, 16, 16, 3))

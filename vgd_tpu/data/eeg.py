@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import zlib
 from typing import List, Optional
 
 import numpy as np
@@ -134,7 +135,12 @@ class EEGDataset:
         if trials:
             self.dataset = np.asarray(trials, dtype=np.float32)
         else:
-            salt = (hash((dataset_type, subject or "")) & 0xFFFF)
+            # deterministic salt: Python's hash() is randomized per process
+            # (PYTHONHASHSEED), which would give every process a different
+            # synthetic T/E split — TSTR numbers would not reproduce across
+            # the train-flow and eval processes.
+            salt = zlib.crc32(f"{dataset_type}|{subject or ''}".encode()) \
+                & 0xFFFF
             self.dataset = synthetic_trials(synthetic_n, event_type,
                                             seed=seed + salt)
 
