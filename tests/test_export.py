@@ -95,6 +95,61 @@ def test_export_infer_cli(vae_dir, tmp_path):
     assert os.path.exists(grid)
 
 
+def test_artifact_self_contained_without_sidecar(vae_dir, tmp_path):
+    """The .json sidecar is optional: a denoise artifact with no sidecar must
+    still be detected as denoise (from the exported program's own input
+    avals) and run — not fail with an opaque arity error (ADVICE r4)."""
+    cfg = vae_dir
+    path = export_serving("vae", cfg, n=2, mode="denoise",
+                          platforms=("cpu",),
+                          artifact_path=str(tmp_path / "bare.jaxexport"))
+    os.remove(path + ".json")
+    call, meta = load_artifact(path)
+    assert meta["mode"] == "denoise" and meta["n"] == 2
+    x = np.zeros((2, 64, 64, 3), np.float32)
+    out = run_artifact(path, seed=1, inputs=x)
+    assert out.shape == x.shape and np.isfinite(out).all()
+    # and the pre-loaded fast path matches
+    out2 = run_artifact(seed=1, inputs=x, loaded=(call, meta))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_artifact_rejects_newer_format_version(vae_dir, tmp_path):
+    import json as _json
+    cfg = vae_dir
+    path = export_serving("vae", cfg, n=2, platforms=("cpu",),
+                          artifact_path=str(tmp_path / "ver.jaxexport"))
+    side = _json.load(open(path + ".json"))
+    side["format_version"] = 999
+    _json.dump(side, open(path + ".json", "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        load_artifact(path)
+
+
+def test_infer_cli_single_image_npy_and_oversize_batch(vae_dir, tmp_path,
+                                                       capsys):
+    """3-D [H,W,C] .npy input must be treated as a batch of one (it used to
+    crash in np.tile); a batch larger than the exported n must warn about
+    truncation (ADVICE r4)."""
+    cfg = vae_dir
+    art = str(tmp_path / "den3.jaxexport")
+    assert cli.main(["export", "--family", "vae", "--mode", "denoise",
+                     "--out-dir", cfg.run.out_dir, "--image-size", "64",
+                     "-n", "2", "--platforms", "cpu",
+                     "--artifact", art]) == 0
+    single = str(tmp_path / "one.npy")
+    np.save(single, np.zeros((64, 64, 3), np.float32))
+    out_img = str(tmp_path / "one_out.jpg")
+    assert cli.main(["infer", "--artifact", art, "--input", single,
+                     "--out", out_img]) == 0
+    assert os.path.exists(out_img)
+    big = str(tmp_path / "big.npy")
+    np.save(big, np.zeros((5, 64, 64, 3), np.float32))
+    assert cli.main(["infer", "--artifact", art, "--input", big,
+                     "--out", str(tmp_path / "big_out.jpg")]) == 0
+    assert "only the first 2 rows" in capsys.readouterr().out
+
+
 def test_export_rejects_bad_mode(vae_dir):
     cfg = vae_dir
     trainer, state = _restored(cfg)

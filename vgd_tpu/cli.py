@@ -514,7 +514,8 @@ def _infer(a):
 
     from vgd_tpu.io.export import load_artifact, run_artifact
 
-    _, meta = load_artifact(a.artifact)
+    call, meta = load_artifact(a.artifact)   # ONE deserialization; the
+    # (call, meta) pair is passed to run_artifact below (ADVICE r4)
     inputs = None
     if meta.get("mode") == "denoise":
         if not a.input:
@@ -523,14 +524,22 @@ def _infer(a):
         n = int(meta["n"])
         if a.input.endswith(".npy"):
             inputs = np.load(a.input).astype(np.float32)
+            if inputs.ndim == 3:                 # single [H, W, C] image
+                inputs = inputs[None]
+            if inputs.ndim != 4:
+                raise SystemExit(f"--input {a.input}: expected [H,W,C] or "
+                                 f"[N,H,W,C], got shape {inputs.shape}")
         else:
             from PIL import Image
             size = tuple(meta["config"]["data"]["image_size"])
             img = Image.open(a.input).convert("RGB").resize(size)
             inputs = (np.asarray(img, np.float32)[None] / 127.5 - 1.0)
+        if inputs.shape[0] > n:
+            print(f"[infer] warning: --input batch {inputs.shape[0]} > "
+                  f"exported n={n}; only the first {n} rows are processed")
         reps = -(-n // inputs.shape[0])          # pad by repetition to n
         inputs = np.tile(inputs, (reps, 1, 1, 1))[:n]
-    out = run_artifact(a.artifact, seed=a.seed, inputs=inputs)
+    out = run_artifact(seed=a.seed, inputs=inputs, loaded=(call, meta))
     base = a.out or a.artifact.rsplit(".", 1)[0]
     if meta.get("family") == "glow-eeg":
         from vgd_tpu.data.eeg import CHANNEL_NAMES

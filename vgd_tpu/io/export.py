@@ -137,15 +137,33 @@ def export_artifact(fn: Callable, example_args, path: str,
 
 
 def load_artifact(path: str) -> Tuple[Callable, dict]:
-    """Deserialize an artifact; returns ``(call, sidecar_meta)``. The
-    callable takes the exact arguments the export was built with
-    (sidecar ``in_avals`` documents them)."""
+    """Deserialize an artifact; returns ``(call, meta)``. The callable takes
+    the exact arguments the export was built with (``meta['in_avals']``
+    documents them).
+
+    The artifact is self-contained: the .json sidecar is optional
+    convenience. When it is present its ``format_version`` is validated;
+    whether or not it is present, the call convention (``mode``) and batch
+    size ``n`` are recovered from the exported program's own input avals —
+    a denoise export takes (x[n,H,W,C], seed), a sample export (seed,) —
+    so a sidecar-less denoise artifact still runs correctly instead of
+    failing with an opaque arity error (ADVICE r4)."""
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
     meta = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
+        fv = meta.get("format_version")
+        if fv is not None and int(fv) > FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: artifact format_version {fv} is newer than this "
+                f"loader's {FORMAT_VERSION} — upgrade vgd_tpu to run it")
+    in_avals = list(exported.in_avals)
+    meta.setdefault("mode", "denoise" if len(in_avals) == 2 else "sample")
+    if len(in_avals) == 2 and getattr(in_avals[0], "shape", None):
+        meta.setdefault("n", int(in_avals[0].shape[0]))
+    meta.setdefault("in_avals", [str(a) for a in in_avals])
     return exported.call, meta
 
 
@@ -205,11 +223,17 @@ def export_serving(family: str, cfg, n: int = 64, mode: str = "sample",
     return artifact_path
 
 
-def run_artifact(artifact_path: str, seed: int = 0,
-                 inputs: Optional[np.ndarray] = None) -> np.ndarray:
-    """Load an artifact and execute one call — the serving hot path.
-    ``inputs`` is required for denoise-mode artifacts."""
-    call, meta = load_artifact(artifact_path)
+def run_artifact(artifact_path: Optional[str] = None, seed: int = 0,
+                 inputs: Optional[np.ndarray] = None,
+                 loaded: Optional[Tuple[Callable, dict]] = None) -> np.ndarray:
+    """Execute one serving call — the serving hot path. ``inputs`` is
+    required for denoise-mode artifacts.
+
+    ``loaded``: an already-deserialized ``(call, meta)`` pair from
+    ``load_artifact`` — callers that loaded the artifact for its metadata
+    (e.g. the CLI's infer) pass it here instead of paying a second read +
+    StableHLO deserialization of the same file (ADVICE r4)."""
+    call, meta = loaded if loaded is not None else load_artifact(artifact_path)
     if meta.get("mode") == "denoise":
         if inputs is None:
             raise ValueError("denoise artifact needs `inputs`")
