@@ -85,6 +85,18 @@ def test_tstr_on_synthetic_erd_data():
     assert sep_train["acc"] > 0.95
 
 
+def test_tstr_synt_missing_checkpoint_fails_actionably(tmp_path):
+    """tstr --method synt/sr with no trained flows must fail up front with
+    the retraining commands — not FileNotFoundError out of orbax mid-protocol
+    (VERDICT r4 item 2: this cost round 4 its TSTR-synt number)."""
+    from vgd_tpu import cli
+    for method in ("synt", "sr"):
+        with pytest.raises(SystemExit) as ei:
+            cli.main(["tstr", "--method", method, "--ckpt-dir",
+                      str(tmp_path)])
+        assert "glow-eeg" in str(ei.value) and "ckpt_mi" in str(ei.value)
+
+
 def test_mean_central_psd_shape():
     trials = synthetic_trials(8, "baseline", seed=0)
     fx, psd = mean_central_psd(trials)

@@ -596,9 +596,31 @@ def _denoise(a):
 def _tstr(a):
     """EEG TSTR protocol (test_eegglow.py:105-197): train CSP+LDA on
     {synthetic, real, both, other-subject} data, test on real E-session."""
+    import os
+
     import numpy as np
     from vgd_tpu.data.eeg import EEGDataset
     from vgd_tpu.eval.eeg_downstream import tstr_evaluate
+
+    if a.method in ("synt", "sr"):
+        # fail BEFORE any backend/data work with an actionable message —
+        # a missing flow checkpoint used to surface as a FileNotFoundError
+        # out of orbax half-way through the protocol (VERDICT r4 item 2)
+        def _has_ckpt(d):
+            return os.path.isdir(d) and any(
+                s.isdigit() for s in os.listdir(d))
+        missing = [os.path.join(a.ckpt_dir, f"ckpt_{e}")
+                   for e in ("mi", "baseline")
+                   if not _has_ckpt(os.path.join(a.ckpt_dir, f"ckpt_{e}"))]
+        if missing:
+            raise SystemExit(
+                f"tstr --method {a.method} samples trained per-class EEG "
+                f"flows, but no checkpoint exists under: "
+                f"{', '.join(missing)}.\nTrain them first:\n"
+                f"  python -m vgd_tpu.cli glow-eeg --iters 6000 "
+                f"--event-type mi --out-dir {a.ckpt_dir}\n"
+                f"  python -m vgd_tpu.cli glow-eeg --iters 6000 "
+                f"--event-type baseline --out-dir {a.ckpt_dir}")
     results = {}
     for i, subject in enumerate(a.subjects):
         te_mi = EEGDataset(a.eeg_path, "E", "mi", subject).as_ncT()
