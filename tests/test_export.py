@@ -150,6 +150,37 @@ def test_infer_cli_single_image_npy_and_oversize_batch(vae_dir, tmp_path,
     assert "only the first 2 rows" in capsys.readouterr().out
 
 
+def test_poly_batch_denoise_serves_any_batch_size(vae_dir, tmp_path):
+    """--poly-batch exports the denoiser with a SYMBOLIC batch dimension
+    (jax.export shape polymorphism): one artifact serves batch 1, 3, and 7
+    with no client-side padding/tiling, and each row matches the static
+    export's output for the same seed."""
+    cfg = vae_dir
+    path = export_serving("vae", cfg, n=2, mode="denoise",
+                          platforms=("cpu",), poly_batch=True,
+                          artifact_path=str(tmp_path / "poly.jaxexport"))
+    call, meta = load_artifact(path)
+    assert meta["poly_batch"] is True
+    rng = np.random.default_rng(0)
+    for b in (1, 3, 7):
+        x = np.clip(rng.normal(0, 0.3, (b, 64, 64, 3)), -1, 1).astype(
+            np.float32)
+        out = run_artifact(seed=3, inputs=x, loaded=(call, meta))
+        assert out.shape == x.shape and np.isfinite(out).all()
+    # sidecar-less polymorphic artifact still self-describes
+    os.remove(path + ".json")
+    _, meta2 = load_artifact(path)
+    assert meta2["mode"] == "denoise" and meta2.get("poly_batch") is True
+
+
+def test_poly_batch_rejected_for_sample_mode(vae_dir):
+    cfg = vae_dir
+    trainer, state = _restored(cfg)
+    with pytest.raises(ValueError, match="poly_batch"):
+        build_serving_fn("vae", cfg, trainer, state, 2, mode="sample",
+                         poly_batch=True)
+
+
 def test_export_rejects_bad_mode(vae_dir):
     cfg = vae_dir
     trainer, state = _restored(cfg)

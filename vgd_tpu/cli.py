@@ -279,6 +279,10 @@ def main(argv=None):
     p.add_argument("--artifact", type=str, default=None,
                    help="output path (default "
                    "<out-dir>/serving_<family>_<mode>.jaxexport)")
+    p.add_argument("--poly-batch", action="store_true",
+                   help="denoise exports: symbolic batch dimension — one "
+                   "artifact serves any request batch size (no client-side "
+                   "padding/tiling)")
 
     p = sub.add_parser("infer", help="load a `export` artifact and run one "
                        "serving call (no model code / checkpoint needed)")
@@ -468,7 +472,8 @@ def main(argv=None):
                        ddim_eta=a.ddim_eta,
                        platforms=tuple(s.strip() for s in
                                        a.platforms.split(",") if s.strip()),
-                       artifact_path=a.artifact, seed=a.seed)
+                       artifact_path=a.artifact, seed=a.seed,
+                       poly_batch=a.poly_batch)
     elif a.cmd == "infer":
         _infer(a)
     elif a.cmd == "denoise":
@@ -521,7 +526,6 @@ def _infer(a):
         if not a.input:
             raise SystemExit("denoise artifact needs --input "
                              "(.npy batch or image file)")
-        n = int(meta["n"])
         if a.input.endswith(".npy"):
             inputs = np.load(a.input).astype(np.float32)
             if inputs.ndim == 3:                 # single [H, W, C] image
@@ -534,11 +538,16 @@ def _infer(a):
             size = tuple(meta["config"]["data"]["image_size"])
             img = Image.open(a.input).convert("RGB").resize(size)
             inputs = (np.asarray(img, np.float32)[None] / 127.5 - 1.0)
-        if inputs.shape[0] > n:
-            print(f"[infer] warning: --input batch {inputs.shape[0]} > "
-                  f"exported n={n}; only the first {n} rows are processed")
-        reps = -(-n // inputs.shape[0])          # pad by repetition to n
-        inputs = np.tile(inputs, (reps, 1, 1, 1))[:n]
+        if not meta.get("poly_batch"):
+            # static-batch artifact: pad/truncate the request to exported n
+            n = int(meta["n"])
+            if inputs.shape[0] > n:
+                print(f"[infer] warning: --input batch {inputs.shape[0]} > "
+                      f"exported n={n}; only the first {n} rows are "
+                      f"processed (re-export with --poly-batch to serve "
+                      f"any batch size)")
+            reps = -(-n // inputs.shape[0])      # pad by repetition to n
+            inputs = np.tile(inputs, (reps, 1, 1, 1))[:n]
     out = run_artifact(seed=a.seed, inputs=inputs, loaded=(call, meta))
     base = a.out or a.artifact.rsplit(".", 1)[0]
     if meta.get("family") == "glow-eeg":

@@ -44,7 +44,7 @@ def _key(seed: jax.Array) -> jax.Array:
 
 def build_serving_fn(family: str, cfg, trainer, state, n: int,
                      mode: str = "sample", ddim_steps: int = 0,
-                     ddim_eta: float = 0.0
+                     ddim_eta: float = 0.0, poly_batch: bool = False
                      ) -> Tuple[Callable, Tuple[jax.ShapeDtypeStruct, ...]]:
     """Return ``(fn, example_args)`` for the family's inference path with
     ``state``'s parameters closed over (baked into the export as constants).
@@ -54,6 +54,12 @@ def build_serving_fn(family: str, cfg, trainer, state, n: int,
     mode="denoise": fn(x: float32 [n, H, W, C] in [-1, 1], seed: uint32[])
                     -> reconstruction float32 [n, H, W, C]
                     (vae / vaegan encoder->decoder, main_vae.py:258-260)
+
+    ``poly_batch`` (denoise only): export with a SYMBOLIC batch dimension
+    (jax.export shape polymorphism) — one artifact then serves any request
+    batch size with no client-side padding/tiling. Sample-mode exports are
+    inherently fixed-``n`` (the batch is created inside the program from the
+    seed alone), so poly_batch is rejected there.
     """
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
 
@@ -72,8 +78,19 @@ def build_serving_fn(family: str, cfg, trainer, state, n: int,
                 state.decoder.variables(), latent_to_spatial(z),
                 train=False).astype(jnp.float32)
 
-        x_spec = jax.ShapeDtypeStruct((n,) + tuple(img_shape), jnp.float32)
+        if poly_batch:
+            b, = jax_export.symbolic_shape("b")
+            x_spec = jax.ShapeDtypeStruct((b,) + tuple(img_shape),
+                                          jnp.float32)
+        else:
+            x_spec = jax.ShapeDtypeStruct((n,) + tuple(img_shape),
+                                          jnp.float32)
         return fn, (x_spec, seed_spec)
+
+    if poly_batch:
+        raise ValueError("poly_batch applies to denoise exports only: a "
+                         "sample-mode program creates its batch internally "
+                         "from the seed, so its size is baked at export")
 
     if mode != "sample":
         raise ValueError(f"unknown export mode {mode!r}")
@@ -162,7 +179,11 @@ def load_artifact(path: str) -> Tuple[Callable, dict]:
     in_avals = list(exported.in_avals)
     meta.setdefault("mode", "denoise" if len(in_avals) == 2 else "sample")
     if len(in_avals) == 2 and getattr(in_avals[0], "shape", None):
-        meta.setdefault("n", int(in_avals[0].shape[0]))
+        b0 = in_avals[0].shape[0]
+        if isinstance(b0, int):
+            meta.setdefault("n", b0)
+        else:                         # symbolic batch (poly_batch export)
+            meta.setdefault("poly_batch", True)
     meta.setdefault("in_avals", [str(a) for a in in_avals])
     return exported.call, meta
 
@@ -171,8 +192,8 @@ def export_serving(family: str, cfg, n: int = 64, mode: str = "sample",
                    step: Optional[int] = None, ddim_steps: int = 0,
                    ddim_eta: float = 0.0,
                    platforms: Tuple[str, ...] = ("tpu", "cpu"),
-                   artifact_path: Optional[str] = None, seed: int = 0
-                   ) -> str:
+                   artifact_path: Optional[str] = None, seed: int = 0,
+                   poly_batch: bool = False) -> str:
     """Restore ``family``'s latest (or ``step``) checkpoint under
     ``cfg.run.out_dir`` and export its serving program. Returns the
     artifact path."""
@@ -209,11 +230,13 @@ def export_serving(family: str, cfg, n: int = 64, mode: str = "sample",
                                                              step=step)
     fn, example_args = build_serving_fn(family, cfg, trainer, state, n,
                                         mode=mode, ddim_steps=ddim_steps,
-                                        ddim_eta=ddim_eta)
+                                        ddim_eta=ddim_eta,
+                                        poly_batch=poly_batch)
     artifact_path = artifact_path or os.path.join(
         od, f"serving_{family}_{mode}.jaxexport")
     meta = dict(family=family, mode=mode, n=n, step=int(restored_step),
                 ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+                poly_batch=poly_batch,
                 config=dataclasses.asdict(cfg))
     export_artifact(fn, example_args, artifact_path,
                     platforms=platforms, meta=meta)
