@@ -101,8 +101,25 @@ def _setup(cfg_run):
         # (MetricLog files, grids, profiler traces) are gated to process 0
         # in io/artifacts.py; orbax saves run on all processes.
         import jax.distributed
+        kw = {}
+        addr = os.environ.get("VGD_COORDINATOR")
+        if addr:
+            # explicit-coordinator mode for clusters without TPU-pod
+            # auto-detection (and for the multi-process CPU test,
+            # tests/test_multihost.py): VGD_COORDINATOR=host:port,
+            # VGD_NUM_PROCESSES, VGD_PROCESS_ID
+            kw = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["VGD_NUM_PROCESSES"]),
+                      process_id=int(os.environ["VGD_PROCESS_ID"]))
+            try:
+                # cross-process collectives on the CPU backend need gloo
+                # (TPU pods ride ICI natively; harmless there)
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+            except Exception:
+                pass
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kw)
         except Exception as e:  # already initialised / single host
             print(f"[setup] jax.distributed.initialize skipped: {e}")
     if cfg_run.debug_nans:
@@ -200,11 +217,23 @@ def _dp_sharding(mesh, ndim=4, stacked=False):
 
 def _dp_put(mesh, ndim=4, stacked=False):
     """arr -> device array: per-shard H2D placement under a mesh (each
-    device receives only its batch shard), plain jnp.asarray otherwise."""
+    device receives only its batch shard), plain jnp.asarray otherwise.
+
+    Multi-host meshes (sharding not fully addressable from this process):
+    every process stages the SAME seeded global batch (loop.py:_setup note),
+    and the global array is assembled from each device's addressable shard
+    slice — device_put cannot place to devices this process doesn't own."""
     sh = _dp_sharding(mesh, ndim, stacked)
     if sh is None:
         return jnp.asarray
-    return lambda arr: jax.device_put(np.asarray(arr), sh)
+
+    def put(arr):
+        arr = np.asarray(arr)
+        if sh.is_fully_addressable:
+            return jax.device_put(arr, sh)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+    return put
 
 
 def _epoch_metrics_header(log, out_dir, prefix=""):
