@@ -42,6 +42,16 @@ print('probe ok')"; then
 echo "=== round-5 legs start: $(date -u) ==="
 probe || exit 1
 
+# ---------- 0. complete the EEG flows if the consolidated script's 1800s
+# timeout truncated them (measured ~112 iters/min on-chip => 6000 iters
+# needs ~53 min); --resume continues from the last saved step and exits
+# immediately when already at 6000 ----------
+for etype in mi baseline; do
+  timeout 3600 python -m vgd_tpu.cli glow-eeg --iters 6000 \
+      --event-type $etype --out-dir "$OUT/soak_eeg2" --seed 42 --resume
+  gap
+done
+
 # ---------- 1. four-regime TSTR on the overlap data ----------
 # real/other_sub need no flow; sr+synt sample the soak_eeg2 flows (retrained
 # by the consolidated script on the SAME overlap data).
