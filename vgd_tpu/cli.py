@@ -210,8 +210,8 @@ def main(argv=None):
         if name == "eval-vae":
             p.add_argument("--occlusion", action="store_true",
                            help="occlusion test-set evaluation "
-                           "(main_vae.py:236-343) instead of the "
-                           "aggregated-posterior sweep")
+                           "(main_vae.py:236-343); alone it replaces the "
+                           "aggregated-posterior sweep, with --fid both run")
             p.add_argument("--max-checkpoints", type=int, default=None)
             p.add_argument("--noise-std", type=float, default=0.5)
         if name == "eval-diffusion":
