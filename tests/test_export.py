@@ -150,6 +150,8 @@ def test_infer_cli_single_image_npy_and_oversize_batch(vae_dir, tmp_path,
     assert "only the first 2 rows" in capsys.readouterr().out
 
 
+@pytest.mark.skipif(os.environ.get("VGD_SKIP_POLY") == "1",
+                    reason="poly-batch validation skipped by request")
 def test_poly_batch_denoise_serves_any_batch_size(vae_dir, tmp_path):
     """--poly-batch exports the denoiser with a SYMBOLIC batch dimension
     (jax.export shape polymorphism): one artifact serves batch 1, 3, and 7
