@@ -145,8 +145,12 @@ def vae():
 def tstr():
     print("### EEG TSTR (synthetic-ERD dataset, subjects 01/02)")
     hdr = False
-    for method in ("synt", "real", "sr", "other_sub"):
-        p = os.path.join(OUT, "soak_eeg", f"tstr_{method}.json.txt")
+    for method in ("real", "sr", "other_sub", "synt"):
+        # round-5 four-regime table (overlap data) lives in soak_eeg2;
+        # fall back to the round-4 location
+        p = os.path.join(OUT, "soak_eeg2", f"tstr_{method}.json.txt")
+        if not os.path.exists(p):
+            p = os.path.join(OUT, "soak_eeg", f"tstr_{method}.json.txt")
         if not os.path.exists(p):
             print(f"({method}: not yet)")
             continue
