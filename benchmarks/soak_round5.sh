@@ -90,6 +90,14 @@ for fam in ("gan", "vae"):
               f"img/s ratio scan/step={r['scan']/r['step']:.3f}")
 EOF
 
+# ---------- 2b. composed eval-vae with the round-5 surrogate tagging:
+# occlusion + sweep from ONE invocation, npz columns carry _surrogate
+# suffixes and no IS ----------
+timeout 3600 python -m vgd_tpu.cli eval-vae --image-size 64 --batch-size 64 \
+    --dataset-size 10000 --out-dir "$OUT/soak_vae" --fid --occlusion \
+    --max-checkpoints 3 --max-batches 4
+gap
+
 # ---------- 3. 256px flagship loop-level run ----------
 timeout 7200 python -m vgd_tpu.cli vaegan --epochs 3 --image-size 256 \
     --batch-size 64 --dataset-size 10000 --keep-checkpoints 1 \
