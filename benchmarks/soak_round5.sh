@@ -1,9 +1,10 @@
 #!/bin/bash
-# Round-5 on-chip legs: probe-gate ONCE, then run every leg inside ONE
-# python process (benchmarks/soak_round5.py) — the tunnel wedge tax is per
-# process start, so in-process cli.main() legs pay it once instead of
-# per leg like the round-4 consolidated script did.
-# Run AFTER the consolidated soak has fully exited (one jax process rule).
+# Round-5 on-chip legs: probe-gate once per GROUP, then run that group's
+# legs inside ONE python process (benchmarks/soak_round5.py) — the tunnel
+# wedge tax is per process start, so in-process cli.main() legs pay it once
+# per group instead of per leg like the round-4 consolidated script did.
+# Two groups bound the blast radius of an unkillable mid-leg execution
+# wedge. Run with no other jax process alive.
 set -x
 cd /root/repo
 OUT=${OUT:-/root/repo/runs}
@@ -31,5 +32,9 @@ print('probe ok')"; then
 
 echo "=== round-5 legs start: $(date -u) ==="
 probe || exit 1
-timeout 14400 python benchmarks/soak_round5.py
-echo "=== round-5 legs done: $(date -u) rc=$? ==="
+timeout 7200 python benchmarks/soak_round5.py groupA
+echo "=== groupA done: $(date -u) rc=$? ==="
+sleep 95
+probe || exit 1
+timeout 14400 python benchmarks/soak_round5.py groupB
+echo "=== groupB done: $(date -u) rc=$? ==="
