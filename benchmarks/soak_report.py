@@ -142,6 +142,50 @@ def vae():
               " ".join(f"{k}={float(v):.4f}" for k, v in d.items()))
 
 
+def flagship256():
+    rs = rows(os.path.join(OUT, "soak_vaegan256", "loss.jsonl"))
+    if not rs:
+        print("(vaegan-256: no rows yet)")
+        return
+    print(f"### Flagship VAE-GAN at the reference's FULL scale "
+          f"(256x256, batch 64) — {len(rs)} epochs, production loop")
+    cols = ["epoch", "train_recon", "train_kl", "train_adv", "val_loss",
+            "ssim", "psnr", "fid_surrogate", "images_per_sec", "val_secs"]
+    have = [c for c in cols if any(c in r for r in rs)]
+    print("| " + " | ".join(have) + " |")
+    print("|" + "---|" * len(have))
+    for r in rs:
+        print("| " + " | ".join(
+            fmt(r.get(c, ""), 2 if c in ("psnr", "fid_surrogate",
+                                         "images_per_sec", "val_secs")
+                else 4) for c in have) + " |")
+
+
+def epoch_scan_ab():
+    out = {}
+    for fam in ("gan", "vae"):
+        r = {}
+        for mode in ("step", "scan"):
+            p = os.path.join(OUT, f"ab_{fam}_{mode}", f"{fam}_loss.jsonl")
+            rs = rows(p)
+            ips = [x["images_per_sec"] for x in rs[1:]]
+            if ips:
+                r[mode] = sum(ips) / len(ips)
+        if len(r) == 2:
+            out[fam] = {"step": round(r["step"]), "scan": round(r["scan"]),
+                        "scan_over_step": round(r["scan"] / r["step"], 3)}
+    if out:
+        print("### Epoch-scan A/B (quarter-epoch chunking fix, 3 epochs, "
+              "first excluded)")
+        print("| family | per-step img/s | scan img/s | scan/step |")
+        print("|---|---|---|---|")
+        for fam, d in out.items():
+            print(f"| {fam} | {d['step']} | {d['scan']} | "
+                  f"{d['scan_over_step']} |")
+    else:
+        print("(epoch-scan A/B: no rows yet)")
+
+
 def tstr():
     print("### EEG TSTR (synthetic-ERD dataset, subjects 01/02)")
     hdr = False
@@ -180,5 +224,9 @@ if __name__ == "__main__":
     dcgan()
     print()
     vae()
+    print()
+    flagship256()
+    print()
+    epoch_scan_ab()
     print()
     tstr()
