@@ -77,22 +77,65 @@ def flagship():
               f"val+metrics phase median {np.median(vs):.1f}s/epoch")
 
 
-def ddpm():
-    rs = rows(os.path.join(OUT, "soak_ddpm", "diffusion_loss.jsonl"))
+def ddpm(dirname="soak_ddpm", label="DDPM"):
+    rs = rows(os.path.join(OUT, dirname, "diffusion_loss.jsonl"))
     if not rs:
-        print("(ddpm: no rows yet)")
+        print(f"({dirname}: no rows yet)")
         return
-    print(f"### DDPM {len(rs)}-epoch soak")
+    print(f"### {label} {len(rs)}-epoch soak")
     print("| epoch | train_loss | val_loss | img/s |")
     print("|---|---|---|---|")
     for r in rs[:: max(1, len(rs) // 8)] + ([rs[-1]] if rs else []):
         print(f"| {r['epoch']} | {fmt(r['train_loss'])} | "
               f"{fmt(r['val_loss'])} | {r['images_per_sec']:.0f} |")
-    p = os.path.join(OUT, "soak_ddpm", "diffusion_eval_metrics.npz")
+    p = os.path.join(OUT, dirname, "diffusion_eval_metrics.npz")
     if os.path.exists(p):
         d = dict(np.load(p))
         print("restoration eval: " +
               " ".join(f"{k}={float(v):.4f}" for k, v in d.items()))
+
+
+def glow():
+    rs = rows(os.path.join(OUT, "soak_glow", "glow_loss.jsonl"))
+    if not rs:
+        print("(glow: no rows yet)")
+        return
+    print(f"### Glow production-CLI run ({rs[-1]['iter']} iters, "
+          "reference shape 64px K=32 L=4 5-bit)")
+    print("| iter | bits/dim loss | img/s |")
+    print("|---|---|---|")
+    for r in rs[:: max(1, len(rs) // 8)] + [rs[-1]]:
+        print(f"| {r['iter']} | {fmt(r['loss'])} | "
+              f"{r['images_per_sec']:.0f} |")
+    p = os.path.join(OUT, "soak_glow", "glow_eval_metrics.npz")
+    if os.path.exists(p):
+        d = dict(np.load(p))
+        print("generation eval: " + " ".join(
+            f"{k}={float(v):.4f}" for k, v in d.items()
+            if np.ndim(v) == 0))
+
+
+def wgan():
+    rs = rows(os.path.join(OUT, "soak_wgan", "wgan_loss.jsonl"))
+    if not rs:
+        print("(wgan: no rows yet)")
+        return
+    print(f"### WGAN {len(rs)}-epoch soak (5 critic iters, clip ±0.01)")
+    print("| epoch | d_loss | g_loss | img/s |")
+    print("|---|---|---|---|")
+    for r in rs[:: max(1, len(rs) // 8)] + [rs[-1]]:
+        print(f"| {r['epoch']} | {fmt(r['d_loss'])} | {fmt(r['g_loss'])} | "
+              f"{r['images_per_sec']:.0f} |")
+    p = os.path.join(OUT, "soak_wgan", "metrics.npz")
+    if os.path.exists(p):
+        d = np.load(p, allow_pickle=True)
+        arr = d["results"]
+        cols = ([str(c) for c in d["columns"]]
+                if "columns" in d else ["(untagged)"])
+        print(f"checkpoint sweep ({arr.shape[0]} ckpts): | "
+              + " | ".join(cols) + " |")
+        for i in (0, arr.shape[0] // 2, arr.shape[0] - 1):
+            print("  | " + " | ".join(fmt(x) for x in arr[i]) + " |")
 
 
 def dcgan():
@@ -220,6 +263,12 @@ if __name__ == "__main__":
     flagship()
     print()
     ddpm()
+    print()
+    ddpm("soak_ddpm256", "DDPM full-256px-scale")
+    print()
+    glow()
+    print()
+    wgan()
     print()
     dcgan()
     print()
