@@ -32,4 +32,5 @@ print('probe ok')"; then
 echo "=== gated_run start: $(date -u) — timeout $TMO: $*"
 probe || exit 1
 timeout "$TMO" "$@"
-echo "=== gated_run done: $(date -u) rc=$? — $*"
+rc=$?   # capture BEFORE any $(...) substitution can clobber $?
+echo "=== gated_run done: $(date -u) rc=$rc — $*"

@@ -116,7 +116,7 @@ def glow():
 
 
 def wgan():
-    rs = rows(os.path.join(OUT, "soak_wgan", "wgan_loss.jsonl"))
+    rs = rows(os.path.join(OUT, "soak_wgan", "gan_loss.jsonl"))
     if not rs:
         print("(wgan: no rows yet)")
         return

@@ -674,7 +674,9 @@ def evaluate_gan_checkpoints(cfg: GANConfig, feature_fn=None,
                        n_valid=n_valid)
         results.append({"step": s, **acc.compute()})
     np.savez(os.path.join(cfg.run.out_dir, "metrics.npz"),
-             results=np.array([list(r.values()) for r in results]))
+             results=np.array([list(r.values()) for r in results]),
+             columns=np.array(list(results[0].keys()) if results else [],
+                              dtype=object))
     return results
 
 
